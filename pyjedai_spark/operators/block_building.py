@@ -1,0 +1,122 @@
+"""Block building = candidate-generation "scan" of the comparison space.
+
+A block collection is a long postings DataFrame ``(key string, eid long)``
+— never a driver-side dict (reference builds dict[token -> Block],
+src/pyjedai/block_building.py:446-461; we let a groupBy do that).
+
+Blocks with a single entity are dropped (drop_single_entity_blocks,
+src/pyjedai/utils.py:105-122); oversized blocks can be capped
+(drop_big_blocks_by_size, utils.py:85-103) — at web scale this is the
+first line of defense against Zipfian mega-blocks *before* any pair
+explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def _postings(docs: DataFrame, keys_col, id_col: str) -> DataFrame:
+    """docs + an array<string> key expression -> (key, eid) postings."""
+    return (
+        docs.select(F.col(id_col).alias("eid"), F.explode(keys_col).alias("key"))
+        .distinct()
+    )
+
+
+def keep_multi_entity_blocks(postings: DataFrame, min_size: int = 2,
+                             max_size: int | None = None) -> DataFrame:
+    """HAVING count BETWEEN min AND max on block size, without losing the
+    postings shape. Window avoids a second scan; partial agg is free.
+
+    reference: drop_single_entity_blocks utils.py:105-122 (min);
+    drop_big_blocks_by_size utils.py:85-103 (max).
+    """
+    w = Window.partitionBy("key")
+    p = postings.withColumn("_bs", F.count("*").over(w))
+    cond = F.col("_bs") >= min_size
+    if max_size is not None:
+        cond = cond & (F.col("_bs") <= max_size)
+    return p.where(cond).drop("_bs")
+
+
+def standard_blocking(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_block_size: int | None = None) -> DataFrame:
+    """One block per distinct token shared by >= 2 entities
+    (StandardBlocking, block_building.py:485-525)."""
+    p = _postings(docs, T.tokens(text_col), id_col)
+    return keep_multi_entity_blocks(p, 2, max_block_size)
+
+
+def qgrams_blocking(docs: DataFrame, q: int = 6, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    max_block_size: int | None = None) -> DataFrame:
+    """Key = char q-gram of each token; short tokens kept whole
+    (QGramsBlocking q=6 default, block_building.py:527-576)."""
+    p = _postings(docs, T.token_qgrams(T.tokens(text_col), q), id_col)
+    return keep_multi_entity_blocks(p, 2, max_block_size)
+
+
+def suffix_arrays_blocking(docs: DataFrame, suffix_length: int = 6,
+                           max_block_size: int = 53, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Key = token suffix; blocks larger than max_block_size dropped
+    (SuffixArraysBlocking defaults 6/53, block_building.py:579-633)."""
+    p = _postings(docs, T.token_suffixes(T.tokens(text_col), suffix_length), id_col)
+    return keep_multi_entity_blocks(p, 2, max_block_size)
+
+
+def extended_suffix_arrays_blocking(docs: DataFrame, suffix_length: int = 6,
+                                    max_block_size: int = 39,
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text") -> DataFrame:
+    """Key = any token substring with len >= suffix_length
+    (ExtendedSuffixArraysBlocking defaults 6/39, block_building.py:635-690)."""
+    p = _postings(docs, T.token_substrings(T.tokens(text_col), suffix_length), id_col)
+    return keep_multi_entity_blocks(p, 2, max_block_size)
+
+
+def block_pairs(postings: DataFrame, salt_threshold: int | None = None) -> DataFrame:
+    """All distinct comparisons implied by a block collection, as an edge
+    list (id1 < id2) — the Dirty-ER cardinality n(n-1)/2 per block
+    (datamodel.py:496-506) materialized as a within-key self-join, never a
+    collect_list + python combinations.
+
+    Scale note: the self-join shuffles both sides hash-partitioned by
+    ``key``; AQE skew-join splits a hot key's partitions. Upstream
+    purging/filtering/size-caps must bound the per-key quadratic blowup —
+    ``salt_threshold`` is a belt-and-braces guard that *drops* keys whose
+    block size exceeds it (salting cannot fix an inherently quadratic
+    explosion, only re-balance it).
+    """
+    p = postings
+    if salt_threshold is not None:
+        p = keep_multi_entity_blocks(p, 2, salt_threshold)
+    a = p.select(F.col("key"), F.col("eid").alias("id1"))
+    b = p.select(F.col("key"), F.col("eid").alias("id2"))
+    return (
+        a.join(b, "key")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def block_stats(postings: DataFrame) -> DataFrame:
+    """Per-collection summary stats (reference AbstractBlockProcessing
+    .stats, block_building.py:148-289) as one aggregate row."""
+    sizes = postings.groupBy("key").agg(F.count("*").alias("block_size"))
+    return sizes.agg(
+        F.count("*").alias("num_blocks"),
+        F.sum("block_size").alias("total_assignments"),
+        F.min("block_size").alias("min_block_size"),
+        F.max("block_size").alias("max_block_size"),
+        F.round(F.avg("block_size"), 6).alias("avg_block_size"),
+        F.sum(
+            (F.col("block_size") * (F.col("block_size") - 1) / 2).cast("long")
+        ).alias("total_comparisons"),
+    )

@@ -1,0 +1,116 @@
+"""Block cleaning: BlockPurging + BlockFiltering.
+
+Both reduce the comparison space *before* any pair explosion — at web
+scale these (plus size caps) are what keep Zipfian mega-blocks from
+producing quadratic shuffles.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def java_math_round(x: float) -> int:
+    """int(x + 0.5) — Java half-up rounding (reference utils.py:204-205).
+    NOT python round() (banker's) and NOT Spark round (half-even)."""
+    return int(math.floor(x + 0.5))
+
+
+def block_cardinalities(postings: DataFrame, dirty: bool = True) -> DataFrame:
+    """(key, block_size, cardinality). DER cardinality = s(s-1)/2
+    (datamodel.py:496-506)."""
+    if not dirty:
+        raise NotImplementedError("CCER cardinality needs per-side sizes")
+    return postings.groupBy("key").agg(F.count("*").alias("block_size")).withColumn(
+        "cardinality",
+        (F.col("block_size") * (F.col("block_size") - 1) / 2).cast("long"),
+    )
+
+
+def purging_threshold(levels: list[tuple[int, float, float]],
+                      smoothing_factor: float = 1.025) -> float:
+    """Scalar threshold scan of BlockPurging._set_threshold
+    (block_cleaning.py:158-198), run driver-side on the tiny per-level
+    aggregate (#distinct cardinality levels rows).
+
+    ``levels``: ascending (cardinality, cum_block_assignments,
+    cum_comparisons) — the reference's block_assignments /
+    total_comparisons_per_level arrays after its cumulative scan.
+    """
+    if len(levels) <= 1:
+        return 0.0
+    cur_bc = cur_cc = cur_size = prev_bc = prev_cc = prev_size = 0.0
+    for i in range(len(levels) - 1, 0, -1):
+        prev_size, prev_bc, prev_cc = cur_size, cur_bc, cur_cc
+        cur_size, cur_bc, cur_cc = (
+            float(levels[i][0]), float(levels[i][1]), float(levels[i][2]))
+        if cur_bc * prev_cc < smoothing_factor * cur_cc * prev_bc:
+            break
+    return prev_size
+
+
+def block_purging(postings: DataFrame, smoothing_factor: float = 1.025,
+                  dirty: bool = True) -> DataFrame:
+    """Drop blocks whose cardinality exceeds the scanned threshold
+    (BlockPurging, block_cleaning.py:110-207).
+
+    Plan: groupBy(key) -> groupBy(cardinality) level agg -> cumulative
+    window over the (tiny) level table -> collect scalar -> filter. The
+    only driver-side piece is the O(#levels) threshold scan.
+    """
+    cards = block_cardinalities(postings, dirty)
+    levels = (
+        cards.groupBy("cardinality")
+        .agg(F.sum("block_size").alias("bs"), F.sum("cardinality").alias("cc"))
+        .withColumn(
+            "cum_bs",
+            F.sum("bs").over(
+                Window.orderBy("cardinality").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "cum_cc",
+            F.sum("cc").over(
+                Window.orderBy("cardinality").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .orderBy("cardinality")
+        .select("cardinality", "cum_bs", "cum_cc")
+        .collect()
+    )
+    thr = purging_threshold([(r[0], r[1], r[2]) for r in levels], smoothing_factor)
+    keep = cards.where(F.col("cardinality") <= F.lit(thr)).select("key")
+    # broadcast the kept-key whitelist when it is small; Catalyst/AQE will
+    # decide — we only express the semi-join.
+    return postings.join(keep, "key", "left_semi")
+
+
+def block_filtering(postings: DataFrame, ratio: float = 0.8,
+                    dirty: bool = True) -> DataFrame:
+    """Retain each entity only in the java_round(ratio*|blocks(e)|)
+    smallest-cardinality blocks it occurs in, then re-drop singleton
+    blocks (BlockFiltering, block_cleaning.py:33-108, core 82-97).
+
+    Determinism delta (documented, SURVEY §4.4): the reference breaks
+    cardinality ties by dict insertion order (OrderedSet,
+    block_cleaning.py:209-210); we use (cardinality, key) — an explicit
+    total order that both the Spark plan and any SQL oracle share.
+    """
+    cards = block_cardinalities(postings, dirty).select("key", "cardinality")
+    p = postings.join(cards, "key")
+    w = Window.partitionBy("eid").orderBy(F.col("cardinality").asc(), F.col("key").asc())
+    ranked = (
+        p.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("eid")))
+    )
+    # java_math_round(ratio*n) == floor(ratio*n + 0.5)
+    kept = ranked.where(
+        F.col("_rn") <= F.floor(F.lit(ratio) * F.col("_n") + F.lit(0.5))
+    ).select("key", "eid")
+    # rebuilt blocks may now be singletons -> drop (block_cleaning.py:97)
+    from .block_building import keep_multi_entity_blocks
+
+    return keep_multi_entity_blocks(kept, 2)

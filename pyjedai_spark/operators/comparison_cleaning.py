@@ -1,0 +1,313 @@
+"""Comparison cleaning / meta-blocking: edge pruning on the blocking graph.
+
+The reference iterates python loops over per-entity counter arrays
+(src/pyjedai/comparison_cleaning.py:192-249,344-666); here the whole
+blocking graph is ONE edge DataFrame built by a within-key self-join +
+groupBy, and every weighting scheme is a column expression over it.
+
+Weight schemes (_get_weight, comparison_cleaning.py:210-249), Dirty-ER:
+  cbs            = #common blocks of (i, j)
+  JS             = cbs / (|Bi| + |Bj| - cbs)
+  COSINE         = cbs / sqrt(|Bi| * |Bj|)
+  DICE           = 2*cbs / (|Bi| + |Bj|)
+  ECBS           = cbs * log10(N/|Bi|) * log10(N/|Bj|)
+  EJS            = JS * log10(D/cmp_i) * log10(D/cmp_j)
+  X2             = chi^2 of the 2x2 block-occurrence table (utils.py:186-202)
+  CN-CBS         = sum_b(1/card_b) + cbs   <- the reference's dangling-else
+  SN-CBS         = sum_b(1/size_b)            quirk at lines 380-385: CN-*
+  CNC/CND/CNJ    = CN-CBS counter, cosine/dice/js normalized by cmp_i     adds BOTH 1/card and +1;
+  SNC/SND/SNJ    = SN-CBS counter, same norms                             SN-* only 1/size. Replicated.
+
+where |Bi| = #blocks of entity i, N = #blocks, cmp_i = #distinct
+comparisons of i, D = total distinct comparisons.
+
+All prune rules keep the numeric comparison inside a shared guard band
+EPS: floating-point thresholds (means/maxima) are computed by different
+engines in different orders; a 1e-9 band makes the retained-edge set
+stable across Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EPS = 1e-9
+
+CN_SCHEMES = {"CN-CBS", "CNC", "CND", "CNJ"}
+SN_SCHEMES = {"SN-CBS", "SNC", "SND", "SNJ"}
+NEEDS_CMP = {"EJS", "CNC", "SNC", "SND", "CND", "CNJ", "SNJ"}
+
+
+def edge_weights(postings: DataFrame, scheme: str = "CBS",
+                 dirty: bool = True) -> DataFrame:
+    """Blocking-graph edges (id1 < id2, weight) for a weighting scheme.
+
+    One shuffle for the self-join on key, one for the groupBy(id1,id2);
+    per-entity stats are small dims joined afterwards (broadcastable).
+    """
+    if not dirty:
+        raise NotImplementedError("CCER variant: join D1 postings to D2")
+    scheme = scheme.upper()
+
+    sizes = postings.groupBy("key").agg(F.count("*").alias("bs")).withColumn(
+        "card", F.col("bs") * (F.col("bs") - 1) / 2
+    )
+    p = postings.join(sizes, "key")
+    a = p.select("key", F.col("eid").alias("id1"), "bs", "card")
+    b = p.select("key", F.col("eid").alias("id2"))
+    pairs = a.join(b, "key").where(F.col("id1") < F.col("id2"))
+
+    # counter accumulation, incl. the CN/SN dangling-else quirk
+    # (comparison_cleaning.py:376-385)
+    aggs = [F.count("*").alias("cbs")]
+    if scheme in CN_SCHEMES:
+        aggs.append(F.sum(F.lit(1.0) / F.col("card")).alias("cn_extra"))
+    if scheme in SN_SCHEMES:
+        aggs.append(F.sum(F.lit(1.0) / F.col("bs")).alias("sn_counter"))
+    e = pairs.groupBy("id1", "id2").agg(*aggs)
+
+    if scheme in CN_SCHEMES:
+        e = e.withColumn("counter", F.col("cn_extra") + F.col("cbs"))
+    elif scheme in SN_SCHEMES:
+        e = e.withColumn("counter", F.col("sn_counter"))
+    else:
+        e = e.withColumn("counter", F.col("cbs").cast("double"))
+
+    blocks_per_entity = postings.groupBy("eid").agg(F.count("*").alias("nb"))
+    e = (
+        e.join(blocks_per_entity.withColumnRenamed("eid", "id1")
+               .withColumnRenamed("nb", "nb1"), "id1")
+        .join(blocks_per_entity.withColumnRenamed("eid", "id2")
+              .withColumnRenamed("nb", "nb2"), "id2")
+    )
+
+    num_blocks = None
+    if scheme in {"ECBS", "X2"}:
+        num_blocks = postings.select("key").distinct().count()
+
+    if scheme in NEEDS_CMP:
+        # distinct comparisons per entity (comparison_cleaning.py:270-295):
+        # DER -> #distinct co-occurring entities (self excluded)
+        bidir = e.select(F.col("id1").alias("u"), F.col("id2").alias("v")).union(
+            e.select(F.col("id2").alias("u"), F.col("id1").alias("v"))
+        )
+        cmp_per_entity = bidir.groupBy("u").agg(F.count("*").alias("cmp"))
+        dc_row = cmp_per_entity.agg((F.sum("cmp") / 2).alias("d")).collect()[0]
+        distinct_comparisons = float(dc_row["d"] or 0.0)
+        e = (
+            e.join(cmp_per_entity.withColumnRenamed("u", "id1")
+                   .withColumnRenamed("cmp", "cmp1"), "id1")
+            .join(cmp_per_entity.withColumnRenamed("u", "id2")
+                  .withColumnRenamed("cmp", "cmp2"), "id2")
+        )
+
+    c, nb1, nb2 = F.col("counter"), F.col("nb1"), F.col("nb2")
+    if scheme in {"CBS", "CN-CBS", "SN-CBS"}:
+        w = c
+    elif scheme == "JS":
+        w = c / (nb1 + nb2 - c)
+    elif scheme == "COSINE":
+        w = c / F.sqrt(nb1 * nb2)
+    elif scheme == "DICE":
+        w = 2 * c / (nb1 + nb2)
+    elif scheme == "ECBS":
+        w = (c * F.log10(F.lit(float(num_blocks)) / nb1)
+             * F.log10(F.lit(float(num_blocks)) / nb2))
+    elif scheme == "EJS":
+        js = c / (nb1 + nb2 - c)
+        d = F.lit(distinct_comparisons)
+        w = js * F.log10(d / F.col("cmp1")) * F.log10(d / F.col("cmp2"))
+    elif scheme in {"CNC", "SNC"}:
+        w = c / F.sqrt(F.col("cmp1") * F.col("cmp2"))
+    elif scheme in {"CND", "SND"}:
+        w = 2 * c / (F.col("cmp1") + F.col("cmp2"))
+    elif scheme in {"CNJ", "SNJ"}:
+        w = c / (F.col("cmp1") + F.col("cmp2") - c)
+    elif scheme == "X2":
+        # chi^2 of [[cbs, |Bi|-cbs], [|Bj|-cbs, N-(cbs+(|Bi|-cbs)-cbs)]]
+        # with int() truncation of observed cells
+        # (comparison_cleaning.py:242-247 + utils.py:186-202); the odd o22
+        # cell N-(o11+o12-cbs) = N-|Bi|+cbs is the reference's exact
+        # formula. counter == cbs for X2.
+        o11 = F.floor(c).cast("double")
+        o12 = (nb1 - F.floor(c)).cast("double")
+        o21 = (nb2 - F.floor(c)).cast("double")
+        o22 = (F.lit(float(num_blocks))
+               - (F.floor(c) + (nb1 - F.floor(c)) - F.floor(c))).cast("double")
+        w = _chi_square(o11, o12, o21, o22)
+    else:
+        raise ValueError(f"unknown weighting scheme {scheme}")
+
+    return e.select("id1", "id2", w.cast("double").alias("weight"),
+                    F.col("cbs").cast("double").alias("cbs"))
+
+
+def _chi_square(o11, o12, o21, o22):
+    """chi^2 over the 2x2 table [[o11,o12],[o21,o22]] — column-expression
+    translation of utils.py:186-202 (row/col marginal expectation)."""
+    total = o11 + o12 + o21 + o22
+    r1, r2 = o11 + o12, o21 + o22
+    c1, c2 = o11 + o21, o12 + o22
+    def term(o, r, c):
+        e_ = r * c / total
+        return F.when(e_ != 0, (o - e_) * (o - e_) / e_).otherwise(F.lit(0.0))
+    return term(o11, r1, c1) + term(o12, r1, c2) + term(o21, r2, c1) + term(o22, r2, c2)
+
+
+# ---------------------------------------------------------------- pruning
+
+def comparison_propagation(postings: DataFrame) -> DataFrame:
+    """Distinct comparisons across all blocks, no weighting
+    (ComparisonPropagation, comparison_cleaning.py:310-342)."""
+    from .block_building import block_pairs
+
+    return block_pairs(postings)
+
+
+def weighted_edge_pruning(postings: DataFrame, scheme: str = "CBS") -> DataFrame:
+    """Keep edges with weight >= global mean edge weight
+    (WEP, comparison_cleaning.py:344-424)."""
+    e = edge_weights(postings, scheme)
+    mean = e.agg(F.avg("weight")).collect()[0][0] or 0.0
+    return e.where(F.col("weight") >= F.lit(mean) - EPS).select("id1", "id2", "weight")
+
+
+def _node_stat(e: DataFrame, agg) -> DataFrame:
+    """Per-node aggregate over the bidirectional neighborhood."""
+    bidir = e.select(F.col("id1").alias("node"), "weight").union(
+        e.select(F.col("id2").alias("node"), "weight")
+    )
+    return bidir.groupBy("node").agg(agg(F.col("weight")).alias("stat"))
+
+
+def weighted_node_pruning(postings: DataFrame, scheme: str = "CBS",
+                          reciprocal: bool = False) -> DataFrame:
+    """WNP: keep (i<j) if w >= avg(neighborhood_i) OR w >= avg(nbh_j)
+    (comparison_cleaning.py:570-618); Reciprocal -> AND (647-666,
+    default scheme CN-CBS there)."""
+    e = edge_weights(postings, scheme)
+    stats = _node_stat(e, F.avg)
+    e2 = (
+        e.join(stats.withColumnRenamed("node", "id1")
+               .withColumnRenamed("stat", "avg1"), "id1")
+        .join(stats.withColumnRenamed("node", "id2")
+              .withColumnRenamed("stat", "avg2"), "id2")
+    )
+    c1 = F.col("weight") >= F.col("avg1") - EPS
+    c2 = F.col("weight") >= F.col("avg2") - EPS
+    cond = (c1 & c2) if reciprocal else (c1 | c2)
+    return e2.where(cond).select("id1", "id2", "weight")
+
+
+def blast(postings: DataFrame, scheme: str = "X2") -> DataFrame:
+    """BLAST: keep (i<j) if w >= (max_w(i)+max_w(j))/4
+    (comparison_cleaning.py:620-645)."""
+    e = edge_weights(postings, scheme)
+    stats = _node_stat(e, F.max)
+    e2 = (
+        e.join(stats.withColumnRenamed("node", "id1")
+               .withColumnRenamed("stat", "max1"), "id1")
+        .join(stats.withColumnRenamed("node", "id2")
+              .withColumnRenamed("stat", "max2"), "id2")
+    )
+    return e2.where(
+        F.col("weight") >= (F.col("max1") + F.col("max2")) / 4 - EPS
+    ).select("id1", "id2", "weight")
+
+
+def cardinality_edge_pruning(postings: DataFrame, scheme: str = "JS",
+                             k: int | None = None) -> DataFrame:
+    """Global top-K edges, K = floor(total block assignments / 2)
+    (CEP, comparison_cleaning.py:426-473). Tie order follows the
+    reference PQ tuple (weight, larger_id, smaller_id) — survivors are
+    the K lexicographically-largest tuples.
+    """
+    e = edge_weights(postings, scheme)
+    if k is None:
+        k = int(postings.count() / 2)
+    # orderBy().limit(k) executes as TakeOrdered — a per-partition top-K
+    # followed by a driver merge; no global sort is materialized.
+    return (
+        e.orderBy(F.col("weight").desc(), F.col("id2").desc(), F.col("id1").desc())
+        .limit(k)
+        .select("id1", "id2", "weight")
+    )
+
+
+def cardinality_node_pruning(postings: DataFrame, scheme: str = "CBS",
+                             k: int | None = None,
+                             num_entities: int | None = None,
+                             reciprocal: bool = False) -> DataFrame:
+    """CNP: per-node top-k neighbors, k = max(1, block_assignments /
+    num_entities) (comparison_cleaning.py:475-546); RCNP keeps only
+    reciprocal pairs (548-568, default CN-CBS).
+
+    Per-node candidates are the full bidirectional neighborhood
+    (node-centric _normalize_neighbor_entities, lines 259-263). Validity
+    (_is_valid_comparison, 511-516): reciprocal pairs kept once (i<j),
+    one-directional pairs kept as-is (CNP) / dropped (RCNP).
+    """
+    e = edge_weights(postings, scheme)
+    if k is None:
+        # reference k = max(1, block_assignments / num_of_entities) with
+        # num_of_entities = FULL dataset size (comparison_cleaning.py:518-523)
+        if num_entities is None:
+            num_entities = postings.select("eid").distinct().count()
+        ba = postings.count()
+        k = int(max(1.0, ba / num_entities))
+    bidir = e.select(F.col("id1").alias("u"), F.col("id2").alias("v"), "weight").union(
+        e.select(F.col("id2").alias("u"), F.col("id1").alias("v"), "weight")
+    )
+    # reference PQ tuple (w, u, v): survivors per u are the k largest by
+    # (w, v) — v desc tie-break replicated.
+    w_rank = Window.partitionBy("u").orderBy(F.col("weight").desc(), F.col("v").desc())
+    nearest = bidir.withColumn("_rn", F.row_number().over(w_rank)).where(
+        F.col("_rn") <= k
+    ).select("u", "v", "weight")
+
+    fwd = nearest
+    rev = nearest.select(F.col("u").alias("v"), F.col("v").alias("u")).withColumn(
+        "_has_rev", F.lit(1)
+    )
+    joined = fwd.join(rev, ["u", "v"], "left")
+    if reciprocal:
+        valid = joined.where(F.col("_has_rev").isNotNull() & (F.col("u") < F.col("v")))
+    else:
+        valid = joined.where(F.col("_has_rev").isNull() | (F.col("u") < F.col("v")))
+    return (
+        valid.select(
+            F.least("u", "v").alias("id1"),
+            F.greatest("u", "v").alias("id2"),
+            "weight",
+        )
+        .groupBy("id1", "id2")
+        .agg(F.max("weight").alias("weight"))
+    )
+
+
+def get_meta_blocking_approach(acronym: str, postings: DataFrame,
+                               scheme: str | None = None, **kw) -> DataFrame:
+    """Acronym dispatch (comparison_cleaning.py:1088-1124) with the
+    reference's default scheme per method."""
+    a = acronym.upper()
+    if a == "CP":
+        return comparison_propagation(postings)
+    if a == "WEP":
+        return weighted_edge_pruning(postings, scheme or "CBS")
+    if a == "WNP":
+        return weighted_node_pruning(postings, scheme or "CBS")
+    if a == "RWNP":
+        return weighted_node_pruning(postings, scheme or "CN-CBS", reciprocal=True)
+    if a == "BLAST":
+        return blast(postings, scheme or "X2")
+    if a == "CEP":
+        return cardinality_edge_pruning(postings, scheme or "JS", **kw)
+    if a == "CNP":
+        return cardinality_node_pruning(postings, scheme or "CBS", **kw)
+    if a == "RCNP":
+        return cardinality_node_pruning(postings, scheme or "CN-CBS",
+                                        reciprocal=True, **kw)
+    raise ValueError(f"unknown meta-blocking acronym {acronym}")

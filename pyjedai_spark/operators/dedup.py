@@ -1,0 +1,298 @@
+"""Web-scale deduplication operators — the north-rule additions.
+
+These are the scalable stand-ins for the reference's token/q-gram/suffix
+exact-key blocking (SURVEY §2.3 last row): MinHash-signature + LSH
+band-hash groupBys, SimHash Hamming-ball candidates, rolling w-gram
+fingerprints for long-span ("suffix-array style") duplicates, exact
+hash dedup, and n-gram Jaccard verification.
+
+Every signature here is built from PORTABLE hashes (md5 hex prefix ->
+uint32, affine universal hashing mod a >2^32 prime) expressed as Spark
+column expressions, so a DuckDB oracle can reproduce signatures
+bit-for-bit — no RNG, no JVM-specific hash.
+
+Scale design:
+- signatures are computed scan-side (one pass, codegen, no shuffle);
+- candidates come from groupBy(band) / groupBy(chunk) shuffles whose
+  fan-out is bounded by band width, never an n^2 cross join;
+- hot buckets (boilerplate pages) are size-capped before pair
+  explosion, mirroring size-capped block purging (north rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from .block_building import keep_multi_entity_blocks
+
+P = T.MERSENNE_PRIME_ISH  # 4294967311, prime > 2^32
+
+# deterministic affine coefficients (a_i, b_i) for the universal hash
+# family h_i(x) = (a_i * x + b_i) mod P.  Generated once from the decimal
+# expansion of pi/e-flavored constants — fixed, public, seedless, and
+# small enough that a_i * x < 2^63 never overflows a signed 64-bit long.
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    coeffs = []
+    a, b = 1103515245, 12345  # classic LCG multipliers as the generator
+    x = 48271
+    for _ in range(k):
+        x = (a * x + b) % 2147483647
+        ai = (x % 99999989) + 1  # 1 .. ~1e8  -> ai * u32 < 2^63
+        x = (a * x + b) % 2147483647
+        bi = x % P
+        coeffs.append((ai, bi))
+    return coeffs
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", normalize: bool = True) -> DataFrame:
+    """Exact duplicate groups by content hash: (eid, fingerprint,
+    group_size, is_duplicate, keep). ``keep`` marks the minimum id of
+    each group — the canonical survivor a training pipeline retains."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")) if normalize \
+        else F.col(text_col)
+    h = docs.select(F.col(id_col).alias("eid"), F.md5(norm).alias("fingerprint"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    return (
+        h.withColumn("group_size", F.count("*").over(w))
+        .withColumn("is_duplicate", (F.col("group_size") > 1).cast("int"))
+        .withColumn("keep", (F.col("eid") == F.min("eid").over(w)).cast("int"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 32, shingle_size: int = 1,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(eid, sig array<long>[k]) MinHash signature over token (or
+    token-shingle) sets — one scan, all codegen; the per-hash min runs
+    as array_min(transform(...)), no explode, no shuffle."""
+    toks = T.tokens(F.col(text_col))
+    if shingle_size > 1:
+        toks = F.array_distinct(
+            T.word_shingles(T.tokens(F.col(text_col), distinct=False), shingle_size)
+        )
+    hashed = T.token_hashes(toks)
+
+    def _perm(a, b):
+        # closure factory: Spark inspects lambda arity, so the coeffs
+        # must be captured, not passed as defaulted params
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(P)
+
+    sig = F.array(*[
+        F.array_min(F.transform(hashed, _perm(a, b)))
+        for a, b in minhash_coeffs(k)
+    ])
+    return docs.select(
+        F.col(id_col).alias("eid"),
+        F.when(F.size(hashed) > 0, sig).otherwise(
+            F.array(*[F.lit(P)] * k)  # empty doc sentinel signature
+        ).alias("sig"),
+    )
+
+
+def lsh_bands(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(eid, band_idx, band_hash): band_hash = md5 of the '-'-joined
+    signature slice — the LSH band-hash groupBy key."""
+    assert bands * rows <= 256
+    out = sigs.select(
+        "eid",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.array_join(F.slice("sig", b * rows + 1, rows), "-"))
+                for b in range(bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+    return out
+
+
+def lsh_candidate_pairs(docs: DataFrame, k: int = 32, bands: int = 8,
+                        rows: int | None = None, shingle_size: int = 1,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_bucket: int | None = 1000) -> DataFrame:
+    """MinHash-LSH candidate pairs (id1<id2, distinct): docs agreeing on
+    at least one full band. ``max_bucket`` size-caps hot buckets
+    (boilerplate shingle sets) before the within-bucket self-join —
+    the salted/size-capped mega-block guard of the north rule."""
+    rows = rows or k // bands
+    sigs = minhash_signatures(docs, k, shingle_size, id_col, text_col)
+    b = lsh_bands(sigs, bands, rows)
+    b = b.select(F.concat_ws("|", F.col("band_idx"), F.col("band_hash")).alias("key"),
+                 "eid")
+    if max_bucket is not None:
+        b = keep_multi_entity_blocks(b, 2, max_bucket)
+    a1 = b.select("key", F.col("eid").alias("id1"))
+    a2 = b.select("key", F.col("eid").alias("id2"))
+    return (
+        a1.join(a2, "key").where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2").distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, docs: DataFrame, threshold: float,
+                   shingle_size: int = 1, id_col: str = "doc_id",
+                   text_col: str = "text", round_to: int = 6) -> DataFrame:
+    """Exact token(-shingle) Jaccard on candidate pairs; keep >= threshold.
+    (True Jaccard inter/union — the verification step of a MinHash
+    pipeline, not the reference's quirky matcher form.)"""
+    toks = T.tokens(F.col(text_col))
+    if shingle_size > 1:
+        toks = F.array_distinct(
+            T.word_shingles(T.tokens(F.col(text_col), distinct=False), shingle_size)
+        )
+    tdf = docs.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+    j = (
+        pairs.join(tdf.select(F.col("_id").alias("id1"), F.col("_t").alias("_t1")), "id1")
+        .join(tdf.select(F.col("_id").alias("id2"), F.col("_t").alias("_t2")), "id2")
+    )
+    inter = F.size(F.array_intersect("_t1", "_t2")).cast("double")
+    union = (F.size("_t1") + F.size("_t2") - inter)
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        j.withColumn("jaccard", F.round(jac, round_to))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 32,
+                        bands: int = 8, shingle_size: int = 1,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """LSH candidates -> exact-Jaccard verify: the standard near-dup
+    pipeline (MinHash generate, verify, cluster upstream)."""
+    cands = lsh_candidate_pairs(docs, k, bands, None, shingle_size, id_col, text_col)
+    return jaccard_verify(cands, docs, threshold, shingle_size, id_col, text_col)
+
+
+# ------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(eid, simhash long): 32-bit SimHash over distinct tokens.
+
+    bit_j(sig) = 1  iff  sum_tokens(2*bit_j(h(token)) - 1) > 0.
+    Expressed as 32 conditional sums over the exploded token-hash list —
+    a single hash aggregate, fully JVM-side.
+    """
+    toks = docs.select(F.col(id_col).alias("eid"),
+                       F.explode(T.token_hashes(T.tokens(F.col(text_col)))).alias("h"))
+    sums = toks.groupBy("eid").agg(*[
+        F.sum(
+            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ])
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long")
+        sig = term if sig is None else sig + term
+    return sums.select("eid", sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(docs: DataFrame, max_hamming: int = 3,
+                            chunks: int = 4, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            max_bucket: int | None = 1000) -> DataFrame:
+    """Hamming-ball candidates by pigeonhole banding: split the 32-bit
+    signature into ``chunks`` 8-bit chunks; any pair within Hamming
+    distance <= chunks-1 shares at least one exact chunk. Verified with
+    bit_count(xor) <= max_hamming. Returns (id1, id2, hamming)."""
+    sigs = simhash_signatures(docs, id_col, text_col)
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    b = sigs.select(
+        "eid", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+            for c in range(chunks)
+        ])).alias("chunk_idx", "chunk_val"),
+    ).select(
+        F.concat_ws("|", F.col("chunk_idx"), F.col("chunk_val")).alias("key"),
+        "eid", "simhash",
+    )
+    if max_bucket is not None:
+        b = keep_multi_entity_blocks(b, 2, max_bucket)
+    a1 = b.select("key", F.col("eid").alias("id1"), F.col("simhash").alias("s1"))
+    a2 = b.select("key", F.col("eid").alias("id2"), F.col("simhash").alias("s2"))
+    pairs = (
+        a1.join(a2, "key")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2",
+                F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"))
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------- long-span / substring dedup
+
+def substring_fingerprint_pairs(docs: DataFrame, w: int = 20,
+                                id_col: str = "doc_id", text_col: str = "text",
+                                max_bucket: int | None = 1000) -> DataFrame:
+    """Long-span duplicate candidates: docs sharing any w-token window
+    fingerprint (rolling shingle hash). This is the scalable stand-in
+    for suffix-array substring dedup (north rule): a shared w-token
+    window == a shared substring of length >= w tokens.
+
+    Returns (id1, id2, shared_windows).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("eid"),
+        F.explode(
+            F.array_distinct(
+                T.word_shingles(T.tokens(F.col(text_col), distinct=False), w)
+            )
+        ).alias("win"),
+    ).select(F.md5("win").alias("key"), "eid").distinct()
+    if max_bucket is not None:
+        sh = keep_multi_entity_blocks(sh, 2, max_bucket)
+    a1 = sh.select("key", F.col("eid").alias("id1"))
+    a2 = sh.select("key", F.col("eid").alias("id2"))
+    return (
+        a1.join(a2, "key")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("shared_windows"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """n-gram-shingle Jaccard near-dup via the token-join pattern (no
+    LSH; exact — the at-scale baseline for LSH recall validation):
+    explode shingles -> equi-join -> count common -> sizes -> filter."""
+    sh = docs.select(
+        F.col(id_col).alias("eid"),
+        F.array_distinct(
+            T.word_shingles(T.tokens(F.col(text_col), distinct=False), n)
+        ).alias("sh"),
+    )
+    sizes = sh.select("eid", F.size("sh").alias("n_sh"))
+    ex = sh.select("eid", F.explode("sh").alias("g"))
+    a1 = ex.select(F.col("eid").alias("id1"), "g")
+    a2 = ex.select(F.col("eid").alias("id2"), "g")
+    common = (
+        a1.join(a2, "g").where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2").agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("eid").alias("id1"),
+                                 F.col("n_sh").alias("n1")), "id1")
+        .join(sizes.select(F.col("eid").alias("id2"),
+                           F.col("n_sh").alias("n2")), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return out

@@ -1,0 +1,168 @@
+"""Entity matching: score candidate pairs with string-similarity metrics.
+
+Reference: EntityMatching (src/pyjedai/matching.py:335-547) loops python
+pairs; here candidate pairs are joined back to the entity text (2 hash
+joins) and the metric is a COLUMN EXPRESSION over token arrays for every
+set metric (JVM-side, codegen) — pandas UDFs are reserved for the two
+genuinely scalar-python kernels (generalized_jaccard's Jaro matching,
+jaro itself).
+
+Parity quirks replicated (SURVEY §7.5):
+- Jaccard.compare returns inter/(|A|+|B|+inter) — PLUS, not minus
+  (string_matchers.py:89-90).
+- every set metric returns 1.0 on exact set equality *before* the formula
+  (string_matchers.py exact_match), which matters for the quirky jaccard.
+- empty side -> 0.0.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from ..functions import text as T
+
+SET_METRICS = {"cosine", "dice", "jaccard", "true_jaccard", "overlap_coefficient",
+               "generalized_jaccard"}
+
+
+def _tokenize_expr(col, tokenizer: str, qgram: int = 1):
+    if tokenizer == "white_space_tokenizer":
+        return T.whitespace_tokens(F.lower(col), distinct=True)
+    if tokenizer == "char_tokenizer":
+        return T.char_qgrams(col, qgram, distinct=True)
+    if tokenizer == "word_tokenizer":
+        # word q-grams (utils.py WordQgramTokenizer): q-word windows
+        return F.array_distinct(T.word_shingles(T.whitespace_tokens(F.lower(col)), qgram))
+    raise ValueError(f"unknown tokenizer {tokenizer}")
+
+
+def set_similarity_expr(t1, t2, metric: str):
+    """Set-metric column expression over two array<string> columns.
+
+    string_matchers.py:39-156; arrays are distinct token sets.
+    """
+    inter = F.size(F.array_intersect(t1, t2))
+    n1, n2 = F.size(t1), F.size(t2)
+    exact = F.sort_array(t1) == F.sort_array(t2)
+    empty = (n1 == 0) | (n2 == 0)
+    if metric == "cosine":
+        body = inter / F.sqrt(n1 * n2)
+    elif metric == "dice":
+        body = 2.0 * inter / (n1 + n2)
+    elif metric == "jaccard":  # the reference's quirky plus-form
+        body = inter / (n1 + n2 + inter)
+    elif metric == "true_jaccard":  # joins.py:230 uses the standard form
+        body = inter / (n1 + n2 - inter)
+    elif metric == "overlap_coefficient":
+        body = inter / F.least(n1, n2)
+    else:
+        raise ValueError(f"not a column-expressible set metric: {metric}")
+    return (
+        F.when(exact, F.lit(1.0)).when(empty, F.lit(0.0)).otherwise(body)
+    ).cast("double")
+
+
+@pandas_udf(DoubleType())
+def _jaro_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro similarity (reference delegates to the
+    py-stringcompare C++ kernel, matching.py:11; classic Jaro here)."""
+    import numpy as np
+
+    def jaro(a: str, b: str) -> float:
+        if a == b:
+            return 1.0
+        la, lb = len(a), len(b)
+        if la == 0 or lb == 0:
+            return 0.0
+        window = max(la, lb) // 2 - 1
+        match_a = [False] * la
+        match_b = [False] * lb
+        matches = 0
+        for i in range(la):
+            lo, hi = max(0, i - window), min(lb, i + window + 1)
+            for j in range(lo, hi):
+                if not match_b[j] and a[i] == b[j]:
+                    match_a[i] = match_b[j] = True
+                    matches += 1
+                    break
+        if matches == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(la):
+            if match_a[i]:
+                while not match_b[k]:
+                    k += 1
+                if a[i] != b[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        return (matches / la + matches / lb + (matches - t) / matches) / 3
+
+    return pd.Series(np.fromiter(
+        (jaro(x, y) for x, y in zip(s1.astype(str), s2.astype(str))),
+        dtype=float, count=len(s1)))
+
+
+def entity_matching(pairs: DataFrame, docs: DataFrame,
+                    metric: str = "dice",
+                    tokenizer: str = "white_space_tokenizer",
+                    qgram: int = 1,
+                    similarity_threshold: float = 0.0,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    round_to: int | None = None) -> DataFrame:
+    """Score (id1,id2) candidate pairs; keep sim > threshold
+    (EntityMatching.predict + _similarity, matching.py:398-537; edge kept
+    if similarity > threshold via graph insert at matching.py:111-121).
+
+    The doc->tokens projection happens ONCE before the two joins (column
+    pruned to (id, tokens)); the pairs table joins it twice.
+    """
+    if metric in SET_METRICS - {"generalized_jaccard"}:
+        toks = docs.select(
+            F.col(id_col).alias("_id"),
+            _tokenize_expr(F.col(text_col), tokenizer, qgram).alias("_toks"),
+        )
+        j = (
+            pairs.join(toks.select(F.col("_id").alias("id1"),
+                                   F.col("_toks").alias("_t1")), "id1")
+            .join(toks.select(F.col("_id").alias("id2"),
+                              F.col("_toks").alias("_t2")), "id2")
+        )
+        sim = set_similarity_expr(F.col("_t1"), F.col("_t2"), metric)
+    elif metric == "levenshtein":
+        txt = docs.select(F.col(id_col).alias("_id"),
+                          F.lower(F.col(text_col)).alias("_s"))
+        j = (
+            pairs.join(txt.select(F.col("_id").alias("id1"),
+                                  F.col("_s").alias("_s1")), "id1")
+            .join(txt.select(F.col("_id").alias("id2"),
+                             F.col("_s").alias("_s2")), "id2")
+        )
+        # normalized levenshtein similarity, JVM builtin
+        sim = (1.0 - F.levenshtein("_s1", "_s2")
+               / F.greatest(F.length("_s1"), F.length("_s2"))).cast("double")
+    elif metric == "jaro":
+        txt = docs.select(F.col(id_col).alias("_id"),
+                          F.lower(F.col(text_col)).alias("_s"))
+        j = (
+            pairs.join(txt.select(F.col("_id").alias("id1"),
+                                  F.col("_s").alias("_s1")), "id1")
+            .join(txt.select(F.col("_id").alias("id2"),
+                             F.col("_s").alias("_s2")), "id2")
+        )
+        sim = _jaro_udf(F.col("_s1"), F.col("_s2"))
+    else:
+        raise ValueError(f"unknown metric {metric}")
+
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        j.withColumn("sim", sim)
+        .where(F.col("sim") > similarity_threshold)
+        .select("id1", "id2", "sim")
+    )
