@@ -50,7 +50,9 @@ def set_similarity_expr(t1, t2, metric: str):
     exact = F.sort_array(t1) == F.sort_array(t2)
     empty = (n1 == 0) | (n2 == 0)
     if metric == "cosine":
-        body = inter / F.sqrt(n1 * n2)
+        # sqrt(n1)*sqrt(n2), NOT sqrt(n1*n2): bit-identical to the
+        # reference's norm1*norm2 (string_matchers.py:51-54)
+        body = inter / (F.sqrt(n1) * F.sqrt(n2))
     elif metric == "dice":
         body = 2.0 * inter / (n1 + n2)
     elif metric == "jaccard":  # the reference's quirky plus-form

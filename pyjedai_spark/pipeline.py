@@ -61,7 +61,8 @@ def der_dedup_pipeline(docs: DataFrame, id_col: str = "doc_id",
                                   metric="cosine",
                                   tokenizer="white_space_tokenizer",
                                   similarity_threshold=matching_threshold,
-                                  id_col=id_col, text_col=text_col),
+                                  id_col=id_col, text_col=text_col,
+                                  round_to=6),
         fingerprint)
     clusters = ck.stage(
         spark, "clustering",

@@ -1,0 +1,864 @@
+"""Query registry: every implemented operator exposed as
+(spark, sf_dir) -> DataFrame, plus a DuckDB-executable ANSI-SQL oracle
+string per query (driver correctness gate; see __spark_entry__.py).
+
+Oracle strategy: each Spark plan is re-expressed in portable SQL over
+the same parquet views. Floating-point outputs are rounded to 6 dp on
+BOTH sides; prune-rule comparisons share the same EPS guard band, so
+retained-row sets agree across engines. Rank orders only ever tie-break
+on exactly-representable weights (int ratios), never on accumulated
+float sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .datamodel import load_documents
+from .functions import analysis as A
+from .functions import vectors as V
+from .operators import block_building as BB
+from .operators import block_cleaning as BC
+from .operators import clustering as CL
+from .operators import comparison_cleaning as CC
+from .operators import dedup as DD
+from .operators import joins as J
+from .operators import matching as M
+
+EPS = 1e-9
+
+# --------------------------------------------------------------- SQL lego
+
+TOK = """tok AS (
+  SELECT doc_id AS eid,
+         unnest(list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '[\\W_]'), x -> x <> ''))) AS key
+  FROM documents)"""
+
+SB = TOK + """,
+sb AS (
+  SELECT key, eid FROM tok
+  QUALIFY count(*) OVER (PARTITION BY key) >= 2)"""
+
+
+def _cards(src: str = "sb") -> str:
+    return f"""cards AS (
+  SELECT key, count(*) AS block_size,
+         CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS cardinality
+  FROM {src} GROUP BY key)"""
+
+
+def _purging_sql(src: str = "sb", sf: float = 1.0, out: str = "pp") -> str:
+    """Level-scan purging threshold (block_cleaning.py:158-198) in SQL:
+    cumulative level table; break index = largest i with the reference's
+    inequality; fallback = 3rd level; keep cardinality <= threshold."""
+    return f"""{_cards(src)},
+levels AS (
+  SELECT cardinality, sum(block_size) AS bs, sum(cardinality) AS cc
+  FROM cards GROUP BY cardinality),
+cum AS (
+  SELECT cardinality,
+         sum(bs) OVER (ORDER BY cardinality) AS cum_bs,
+         sum(cc) OVER (ORDER BY cardinality) AS cum_cc,
+         row_number() OVER (ORDER BY cardinality) AS rn
+  FROM levels),
+cand AS (
+  SELECT c.rn AS i_rn, p.cardinality AS thr_card
+  FROM cum c JOIN cum p ON p.rn = c.rn + 1
+  WHERE c.rn >= 2
+    AND c.cum_bs * p.cum_cc < {sf} * c.cum_cc * p.cum_bs),
+thr AS (
+  SELECT CASE WHEN (SELECT count(*) FROM cum) <= 2 THEN 0
+         ELSE coalesce((SELECT thr_card FROM cand ORDER BY i_rn DESC LIMIT 1),
+                       (SELECT cardinality FROM cum WHERE rn = 3))
+         END AS t),
+{out} AS (
+  SELECT s.key, s.eid FROM {src} s
+  JOIN cards c ON c.key = s.key, thr
+  WHERE c.cardinality <= thr.t)"""
+
+
+def _filtering_sql(src: str, ratio: float, out: str, cards_name: str) -> str:
+    """BlockFiltering (block_cleaning.py:82-97): keep each entity's
+    java_round(ratio*n) smallest blocks, ties by key; re-drop singletons."""
+    return f"""{cards_name} AS (
+  SELECT key, CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS cardinality
+  FROM {src} GROUP BY key),
+{out}_ranked AS (
+  SELECT p.key, p.eid,
+         row_number() OVER (PARTITION BY p.eid
+                            ORDER BY c.cardinality, p.key) AS rn,
+         count(*) OVER (PARTITION BY p.eid) AS n
+  FROM {src} p JOIN {cards_name} c ON c.key = p.key),
+{out} AS (
+  SELECT key, eid FROM {out}_ranked
+  WHERE rn <= floor({ratio} * n + 0.5)
+  QUALIFY count(*) OVER (PARTITION BY key) >= 2)"""
+
+
+def _edges_sql(src: str, scheme: str, out: str = "e") -> str:
+    """Edge weights over postings ``src`` (Dirty-ER). Supports CBS/JS/
+    COSINE/DICE here (the exactly-representable schemes used by rank
+    queries); weight column ``w``."""
+    base = f"""{out}_nb AS (SELECT eid, count(*) AS nb FROM {src} GROUP BY eid),
+{out}_raw AS (
+  SELECT a.eid AS id1, b.eid AS id2, count(*) AS cbs
+  FROM {src} a JOIN {src} b ON a.key = b.key AND a.eid < b.eid
+  GROUP BY 1, 2)"""
+    if scheme == "CBS":
+        wexpr = "CAST(cbs AS DOUBLE)"
+    elif scheme == "JS":
+        wexpr = "CAST(cbs AS DOUBLE) / (n1.nb + n2.nb - cbs)"
+    elif scheme == "COSINE":
+        wexpr = "CAST(cbs AS DOUBLE) / (sqrt(CAST(n1.nb AS DOUBLE)) * sqrt(CAST(n2.nb AS DOUBLE)))"
+    elif scheme == "DICE":
+        wexpr = "2.0 * cbs / (n1.nb + n2.nb)"
+    else:
+        raise ValueError(scheme)
+    return base + f""",
+{out} AS (
+  SELECT r.id1, r.id2, r.cbs, {wexpr} AS w
+  FROM {out}_raw r
+  JOIN {out}_nb n1 ON n1.eid = r.id1
+  JOIN {out}_nb n2 ON n2.eid = r.id2)"""
+
+
+def _cnp_sql(src: str, out: str = "cnp", scheme: str = "JS") -> str:
+    """CardinalityNodePruning (comparison_cleaning.py:475-546): per-node
+    top-k by (w desc, neighbor desc); validity = reciprocal-once-or-
+    unclaimed; k = floor(max(1, assignments/num_docs))."""
+    return _edges_sql(src, scheme, f"{out}_e") + f""",
+{out}_bidir AS (
+  SELECT id1 AS u, id2 AS v, w FROM {out}_e
+  UNION ALL SELECT id2, id1, w FROM {out}_e),
+{out}_k AS (
+  SELECT CAST(floor(greatest(1.0,
+      (SELECT count(*) FROM {src}) * 1.0
+      / (SELECT count(*) FROM documents))) AS BIGINT) AS kv),
+{out}_top AS (
+  SELECT u, v, w FROM (
+    SELECT u, v, w,
+           row_number() OVER (PARTITION BY u ORDER BY w DESC, v DESC) AS rn
+    FROM {out}_bidir)
+  WHERE rn <= (SELECT kv FROM {out}_k)),
+{out} AS (
+  SELECT least(t.u, t.v) AS id1, greatest(t.u, t.v) AS id2, max(t.w) AS weight
+  FROM {out}_top t LEFT JOIN {out}_top r ON r.u = t.v AND r.v = t.u
+  WHERE r.u IS NULL OR t.u < t.v
+  GROUP BY 1, 2)"""
+
+
+def _matching_cosine_sql(pairs_src: str, threshold: float, out: str = "mt") -> str:
+    """EntityMatching(cosine, whitespace sets) on candidate pairs:
+    exact-set -> 1.0, empty -> 0.0, keep sim > threshold
+    (matching.py:493-537 + string_matchers.py:39-54)."""
+    return f"""{out}_wt AS (
+  SELECT doc_id AS eid,
+         list_sort(list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS t
+  FROM documents),
+{out} AS (
+  SELECT id1, id2, sim FROM (
+    SELECT p.id1, p.id2,
+           round(CASE WHEN a.t = b.t THEN 1.0
+                 WHEN len(a.t) = 0 OR len(b.t) = 0 THEN 0.0
+                 ELSE len(list_intersect(a.t, b.t))
+                      / (sqrt(CAST(len(a.t) AS DOUBLE)) * sqrt(CAST(len(b.t) AS DOUBLE)))
+                 END, 6) AS sim
+    FROM {pairs_src} p
+    JOIN {out}_wt a ON a.eid = p.id1
+    JOIN {out}_wt b ON b.eid = p.id2)
+  WHERE sim > {threshold})"""
+
+
+def _cc_sql(edges_src: str) -> str:
+    """Connected components over (id1,id2) edges + all docs as
+    singletons, via recursive closure to the component minimum."""
+    return f"""bidir_cc AS (
+  SELECT id1 AS u, id2 AS v FROM {edges_src}
+  UNION SELECT id2, id1 FROM {edges_src}),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, b.v FROM reach r JOIN bidir_cc b ON r.v = b.u)"""
+
+
+# MinHash SQL generation ---------------------------------------------------
+
+def _tokhash_sql(shingle: int) -> str:
+    """per-doc list of portable u32 token(-shingle) hashes, +
+    the shingle list itself for jaccard."""
+    if shingle == 1:
+        sh = """sh AS (
+  SELECT doc_id AS eid,
+         list_distinct(list_filter(regexp_split_to_array(lower(text),
+             '[\\W_]'), x -> x <> '')) AS sl
+  FROM documents)"""
+    else:
+        sh = f"""t0 AS (
+  SELECT doc_id AS eid,
+         list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
+                     x -> x <> '') AS tl
+  FROM documents),
+sh AS (
+  SELECT eid, CASE WHEN len(tl) < {shingle} THEN []
+         ELSE list_distinct(list_transform(range(1, len(tl) - {shingle} + 2),
+              i -> array_to_string(list_slice(tl, i, i + {shingle} - 1), ' ')))
+         END AS sl
+  FROM t0)"""
+    return f"""{sh},
+hx AS (
+  SELECT eid, sl,
+         list_transform(sl, t ->
+             CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)) AS hl
+  FROM sh)"""
+
+
+def _minhash_sig_sql(k: int) -> str:
+    coeffs = DD.minhash_coeffs(k)
+    exprs = ",\n    ".join(
+        f"CASE WHEN len(hl)=0 THEN {DD.P} ELSE "
+        f"list_min(list_transform(hl, h -> (h * {a} + {b}) % {DD.P})) END"
+        for a, b in coeffs
+    )
+    return f"""sig AS (
+  SELECT eid, [{exprs}] AS s FROM hx)"""
+
+
+def _bands_sql(bands: int, rows: int) -> str:
+    sels = "\n  UNION ALL ".join(
+        f"SELECT eid, {b} AS band_idx, "
+        f"md5(array_to_string(list_slice(s, {b * rows + 1}, {b * rows + rows}), '-'))"
+        f" AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"bands AS (\n  {sels})"
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(DD.SIMHASH_BITS))
+    recompose = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(DD.SIMHASH_BITS))
+    return f"""{_tokhash_sql(1)},
+hh AS (SELECT eid, unnest(hl) AS h FROM hx),
+bits AS (SELECT eid, {sums} FROM hh GROUP BY eid),
+sims AS (SELECT eid, {recompose} AS simhash FROM bits)"""
+
+
+# ------------------------------------------------------------- registry
+
+def _docs(spark, sf_dir):
+    return load_documents(spark, sf_dir)
+
+
+def q_sb_blocks(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    return p.groupBy(F.col("key").alias("token")).agg(
+        F.count("*").alias("block_size"))
+
+
+def q_sb_block_stats(spark, sf_dir):
+    return BB.block_stats(BB.standard_blocking(_docs(spark, sf_dir)))
+
+
+def q_block_purging(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    purged = BC.block_purging(p, smoothing_factor=1.0)
+    return (
+        BC.block_cardinalities(purged)
+        .select(F.col("key").alias("token"), "block_size", "cardinality")
+    )
+
+
+def q_block_filtering(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    return BC.block_filtering(p, 0.8).select(F.col("key").alias("token"),
+                                             F.col("eid").alias("doc_id"))
+
+
+def q_comparison_propagation(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    p = BC.block_filtering(BB.standard_blocking(docs), 0.8)
+    return CC.comparison_propagation(p)
+
+
+def q_wep_cbs(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    e = CC.weighted_edge_pruning(p, "CBS")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_wep_js(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    e = CC.weighted_edge_pruning(p, "JS")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_wnp_cbs(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    e = CC.weighted_node_pruning(p, "CBS")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_rwnp_js(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    e = CC.weighted_node_pruning(p, "JS", reciprocal=True)
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_blast_cosine(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    e = CC.blast(p, "COSINE")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_cep_js(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    e = CC.cardinality_edge_pruning(p, "JS")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_cnp_js(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    p = BB.standard_blocking(docs)
+    e = CC.cardinality_node_pruning(p, "JS", num_entities=docs.count())
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_rcnp_js(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    p = BB.standard_blocking(docs)
+    e = CC.cardinality_node_pruning(p, "JS", num_entities=docs.count(),
+                                    reciprocal=True)
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_entity_matching_cosine(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    p = BB.standard_blocking(docs)
+    cands = CC.cardinality_node_pruning(p, "JS", num_entities=docs.count())
+    return M.entity_matching(cands.select("id1", "id2"), docs, metric="cosine",
+                             tokenizer="white_space_tokenizer",
+                             similarity_threshold=0.55, round_to=6)
+
+
+def q_der_dedup_clusters(spark, sf_dir):
+    """Flagship: the reference best-DER chain end-to-end -> clusters."""
+    from .pipeline import der_dedup_pipeline
+
+    docs = _docs(spark, sf_dir)
+    out = der_dedup_pipeline(docs)
+    return out.select(F.col("eid").alias("doc_id"), "cluster_id")
+
+
+def q_exact_dedup(spark, sf_dir):
+    return DD.exact_dedup(_docs(spark, sf_dir)).select(
+        F.col("eid").alias("doc_id"), "fingerprint",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("is_duplicate").cast("long").alias("is_duplicate"),
+        F.col("keep").cast("long").alias("keep"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return A.doc_fingerprint(_docs(spark, sf_dir)).select(
+        F.col("eid").alias("doc_id"), "fingerprint")
+
+
+def q_minhash_bands(spark, sf_dir):
+    sigs = DD.minhash_signatures(_docs(spark, sf_dir), k=32, shingle_size=3)
+    return DD.lsh_bands(sigs, bands=8, rows=4).select(
+        F.col("eid").alias("doc_id"),
+        F.col("band_idx").cast("long").alias("band_idx"), "band_hash")
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return DD.lsh_candidate_pairs(_docs(spark, sf_dir), k=32, bands=8,
+                                  shingle_size=3, max_bucket=None)
+
+
+def q_minhash_near_dup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cands = DD.lsh_candidate_pairs(docs, k=32, bands=8, shingle_size=3,
+                                   max_bucket=None)
+    return DD.jaccard_verify(cands, docs, threshold=0.5, shingle_size=3)
+
+
+def q_simhash_signatures(spark, sf_dir):
+    return DD.simhash_signatures(_docs(spark, sf_dir)).select(
+        F.col("eid").alias("doc_id"), "simhash")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return DD.simhash_candidate_pairs(_docs(spark, sf_dir), max_hamming=3,
+                                      max_bucket=None).select(
+        "id1", "id2", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_substring_dedup(spark, sf_dir):
+    return DD.substring_fingerprint_pairs(_docs(spark, sf_dir), w=10,
+                                          max_bucket=None)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+def q_ejoin_cosine(spark, sf_dir):
+    return J.ejoin(_docs(spark, sf_dir), similarity_threshold=0.9,
+                   metric="cosine", tokenization="standard", round_to=6)
+
+
+def q_topk_join(spark, sf_dir):
+    return J.topk_join(_docs(spark, sf_dir), k=200, metric="cosine",
+                       tokenization="standard", round_to=6)
+
+
+def q_pe_topk_join(spark, sf_dir):
+    out = J.pe_topk_join(_docs(spark, sf_dir), k=5, metric="cosine",
+                         tokenization="standard", round_to=6)
+    return out.select(F.col("eid").alias("doc_id"), "neighbor", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def q_lang_id(spark, sf_dir):
+    return A.language_id(_docs(spark, sf_dir)).select(
+        F.col("eid").alias("doc_id"), "lang_pred", "lang_score")
+
+
+def q_quality_score(spark, sf_dir):
+    out = A.quality_score(_docs(spark, sf_dir))
+    return out.select(F.col("eid").alias("doc_id"),
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "avg_token_len", "stopword_ratio", "unique_ratio",
+                      "alpha_ratio", "quality_score")
+
+
+def q_token_count(spark, sf_dir):
+    out = A.token_count(_docs(spark, sf_dir))
+    return out.select(F.col("eid").alias("doc_id"),
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.col("n_unique_tokens").cast("long").alias("n_unique_tokens"),
+                      F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = V.brute_force_topk(emb, k=10, probe_ids=list(range(20)))
+    return out.select("query_id", "neighbor_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = V.lsh_topk(emb, k=10)
+    return out.select("query_id", "neighbor_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def q_embedding_dedup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return V.embedding_cosine_dedup(emb, threshold=0.7)
+
+
+# ------- no-oracle (rows-only) queries: non-SQL-expressible surfaces
+
+def q_webtext_minhash_clusters(spark, sf_dir):
+    """Synthetic webtext (url/warc_ts/html/text/lang) through the
+    MinHash pipeline; exercises the html->text pandas UDF path."""
+    from .pipeline import minhash_dedup_pipeline
+    from .synth import webtext_df
+
+    docs, _ = webtext_df(spark, n_docs=300, seed=7)
+    docs = docs.drop("text")
+    from .datamodel import extract_text_udf
+
+    docs = docs.withColumn("text", extract_text_udf(F.col("html")))
+    return minhash_dedup_pipeline(docs, id_col="eid", shingle_size=3,
+                                  jaccard_threshold=0.5)
+
+
+def q_unique_mapping(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    p = BB.standard_blocking(docs)
+    cands = CC.cardinality_node_pruning(p, "JS", num_entities=docs.count())
+    m = M.entity_matching(cands.select("id1", "id2"), docs, metric="cosine",
+                          similarity_threshold=0.55, round_to=6)
+    return CL.unique_mapping_clustering(m, similarity_threshold=0.55,
+                                        weight_col="sim")
+
+
+QUERIES = {
+    "sb_blocks": q_sb_blocks,
+    "sb_block_stats": q_sb_block_stats,
+    "block_purging": q_block_purging,
+    "block_filtering": q_block_filtering,
+    "comparison_propagation": q_comparison_propagation,
+    "wep_cbs": q_wep_cbs,
+    "wep_js": q_wep_js,
+    "wnp_cbs": q_wnp_cbs,
+    "rwnp_js": q_rwnp_js,
+    "blast_cosine": q_blast_cosine,
+    "cep_js": q_cep_js,
+    "cnp_js": q_cnp_js,
+    "rcnp_js": q_rcnp_js,
+    "entity_matching_cosine": q_entity_matching_cosine,
+    "der_dedup_clusters": q_der_dedup_clusters,
+    "exact_dedup": q_exact_dedup,
+    "doc_fingerprint": q_doc_fingerprint,
+    "minhash_bands": q_minhash_bands,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_signatures": q_simhash_signatures,
+    "simhash_pairs": q_simhash_pairs,
+    "substring_dedup": q_substring_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ejoin_cosine": q_ejoin_cosine,
+    "topk_join": q_topk_join,
+    "pe_topk_join": q_pe_topk_join,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_dedup": q_embedding_dedup,
+    # rows-only (no SQL oracle): pandas-UDF path & sequential clusterer
+    "webtext_minhash_clusters": q_webtext_minhash_clusters,
+    "unique_mapping": q_unique_mapping,
+}
+
+
+def _build_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["sb_blocks"] = f"""WITH {SB}
+SELECT key AS token, count(*) AS block_size FROM sb GROUP BY key"""
+
+    o["sb_block_stats"] = f"""WITH {SB},
+sizes AS (SELECT key, count(*) AS block_size FROM sb GROUP BY key)
+SELECT count(*) AS num_blocks,
+       sum(block_size) AS total_assignments,
+       min(block_size) AS min_block_size,
+       max(block_size) AS max_block_size,
+       round(avg(block_size), 6) AS avg_block_size,
+       CAST(sum(block_size * (block_size - 1) / 2) AS BIGINT) AS total_comparisons
+FROM sizes"""
+
+    o["block_purging"] = f"""WITH {SB},
+{_purging_sql('sb', 1.0, 'pp')}
+SELECT c.key AS token, c.block_size, c.cardinality
+FROM cards c, thr WHERE c.cardinality <= thr.t"""
+
+    o["block_filtering"] = f"""WITH {SB},
+{_filtering_sql('sb', 0.8, 'bf', 'bfc')}
+SELECT key AS token, eid AS doc_id FROM bf"""
+
+    o["comparison_propagation"] = f"""WITH {SB},
+{_filtering_sql('sb', 0.8, 'bf', 'bfc')}
+SELECT DISTINCT a.eid AS id1, b.eid AS id2
+FROM bf a JOIN bf b ON a.key = b.key AND a.eid < b.eid"""
+
+    for name, scheme in [("wep_cbs", "CBS"), ("wep_js", "JS")]:
+        o[name] = f"""WITH {SB},
+{_edges_sql('sb', scheme)}
+SELECT id1, id2, round(w, 6) AS weight FROM e
+WHERE w >= (SELECT avg(w) FROM e) - {EPS}"""
+
+    o["wnp_cbs"] = f"""WITH {SB},
+{_edges_sql('sb', 'CBS')},
+bidir AS (SELECT id1 AS node, w FROM e UNION ALL SELECT id2, w FROM e),
+st AS (SELECT node, avg(w) AS s FROM bidir GROUP BY node)
+SELECT e.id1, e.id2, round(e.w, 6) AS weight
+FROM e JOIN st s1 ON s1.node = e.id1 JOIN st s2 ON s2.node = e.id2
+WHERE e.w >= s1.s - {EPS} OR e.w >= s2.s - {EPS}"""
+
+    o["rwnp_js"] = f"""WITH {SB},
+{_edges_sql('sb', 'JS')},
+bidir AS (SELECT id1 AS node, w FROM e UNION ALL SELECT id2, w FROM e),
+st AS (SELECT node, avg(w) AS s FROM bidir GROUP BY node)
+SELECT e.id1, e.id2, round(e.w, 6) AS weight
+FROM e JOIN st s1 ON s1.node = e.id1 JOIN st s2 ON s2.node = e.id2
+WHERE e.w >= s1.s - {EPS} AND e.w >= s2.s - {EPS}"""
+
+    o["blast_cosine"] = f"""WITH {SB},
+{_edges_sql('sb', 'COSINE')},
+bidir AS (SELECT id1 AS node, w FROM e UNION ALL SELECT id2, w FROM e),
+st AS (SELECT node, max(w) AS s FROM bidir GROUP BY node)
+SELECT e.id1, e.id2, round(e.w, 6) AS weight
+FROM e JOIN st s1 ON s1.node = e.id1 JOIN st s2 ON s2.node = e.id2
+WHERE e.w >= (s1.s + s2.s) / 4 - {EPS}"""
+
+    o["cep_js"] = f"""WITH {SB},
+{_edges_sql('sb', 'JS')}
+SELECT id1, id2, round(w, 6) AS weight FROM e
+QUALIFY row_number() OVER (ORDER BY w DESC, id2 DESC, id1 DESC)
+        <= (SELECT CAST(floor(count(*) / 2) AS BIGINT) FROM sb)"""
+
+    o["cnp_js"] = f"""WITH {SB},
+{_cnp_sql('sb', 'cnp', 'JS')}
+SELECT id1, id2, round(weight, 6) AS weight FROM cnp"""
+
+    o["rcnp_js"] = f"""WITH {SB},
+{_edges_sql('sb', 'JS', 'rc_e')},
+rc_bidir AS (
+  SELECT id1 AS u, id2 AS v, w FROM rc_e
+  UNION ALL SELECT id2, id1, w FROM rc_e),
+rc_k AS (
+  SELECT CAST(floor(greatest(1.0,
+      (SELECT count(*) FROM sb) * 1.0
+      / (SELECT count(*) FROM documents))) AS BIGINT) AS kv),
+rc_top AS (
+  SELECT u, v, w FROM (
+    SELECT u, v, w,
+           row_number() OVER (PARTITION BY u ORDER BY w DESC, v DESC) AS rn
+    FROM rc_bidir)
+  WHERE rn <= (SELECT kv FROM rc_k))
+SELECT least(t.u, t.v) AS id1, greatest(t.u, t.v) AS id2,
+       round(max(t.w), 6) AS weight
+FROM rc_top t JOIN rc_top r ON r.u = t.v AND r.v = t.u
+WHERE t.u < t.v
+GROUP BY 1, 2"""
+
+    o["entity_matching_cosine"] = f"""WITH {SB},
+{_cnp_sql('sb', 'cnp', 'JS')},
+{_matching_cosine_sql('cnp', 0.55, 'mt')}
+SELECT id1, id2, sim FROM mt"""
+
+    o["der_dedup_clusters"] = f"""WITH RECURSIVE {SB},
+{_purging_sql('sb', 1.0, 'pp')},
+{_filtering_sql('pp', 0.8, 'bf', 'bfc')},
+{_cnp_sql('bf', 'cnp', 'JS')},
+{_matching_cosine_sql('cnp', 0.55, 'mt')},
+{_cc_sql('mt')}
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u"""
+
+    o["exact_dedup"] = """WITH h AS (
+  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents)
+SELECT doc_id, fingerprint,
+       count(*) OVER (PARTITION BY fingerprint) AS group_size,
+       CAST(count(*) OVER (PARTITION BY fingerprint) > 1 AS BIGINT) AS is_duplicate,
+       CAST(doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS BIGINT) AS keep
+FROM h"""
+
+    o["doc_fingerprint"] = """SELECT doc_id,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents"""
+
+    o["minhash_bands"] = f"""WITH {_tokhash_sql(3)},
+{_minhash_sig_sql(32)},
+{_bands_sql(8, 4)}
+SELECT eid AS doc_id, band_idx, band_hash FROM bands"""
+
+    o["minhash_lsh_pairs"] = f"""WITH {_tokhash_sql(3)},
+{_minhash_sig_sql(32)},
+{_bands_sql(8, 4)}
+SELECT DISTINCT a.eid AS id1, b.eid AS id2
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.eid < b.eid"""
+
+    o["minhash_near_dup"] = f"""WITH {_tokhash_sql(3)},
+{_minhash_sig_sql(32)},
+{_bands_sql(8, 4)},
+cand AS (
+  SELECT DISTINCT a.eid AS id1, b.eid AS id2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.eid < b.eid)
+SELECT id1, id2, jaccard FROM (
+  SELECT c.id1, c.id2,
+         round(len(list_intersect(x.sl, y.sl)) * 1.0
+               / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl))), 6)
+         AS jaccard
+  FROM cand c JOIN hx x ON x.eid = c.id1 JOIN hx y ON y.eid = c.id2)
+WHERE jaccard >= 0.5"""
+
+    o["simhash_signatures"] = f"""WITH {_simhash_sql()}
+SELECT eid AS doc_id, simhash FROM sims"""
+
+    chunk_sel = "\n  UNION ALL ".join(
+        f"SELECT eid, simhash, {c} AS chunk_idx, (simhash >> {c * 8}) & 255 AS chunk_val FROM sims"
+        for c in range(4))
+    o["simhash_pairs"] = f"""WITH {_simhash_sql()},
+chunks AS (
+  {chunk_sel})
+SELECT id1, id2, hamming FROM (
+  SELECT DISTINCT a.eid AS id1, b.eid AS id2,
+         bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       AND a.eid < b.eid)
+WHERE hamming <= 3"""
+
+    o["substring_dedup"] = """WITH t AS (
+  SELECT doc_id AS eid,
+         list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
+                     x -> x <> '') AS tl
+  FROM documents),
+wins AS (
+  SELECT eid, md5(w) AS key FROM (
+    SELECT eid, unnest(CASE WHEN len(tl) < 10 THEN []
+        ELSE list_distinct(list_transform(range(1, len(tl) - 10 + 2),
+             i -> array_to_string(list_slice(tl, i, i + 9), ' '))) END) AS w
+    FROM t)
+  GROUP BY eid, w)
+SELECT a.eid AS id1, b.eid AS id2, count(*) AS shared_windows
+FROM wins a JOIN wins b ON a.key = b.key AND a.eid < b.eid
+GROUP BY 1, 2"""
+
+    o["ngram_jaccard"] = """WITH t AS (
+  SELECT doc_id AS eid,
+         list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
+                     x -> x <> '') AS tl
+  FROM documents),
+sh AS (
+  SELECT eid, CASE WHEN len(tl) < 3 THEN []
+         ELSE list_distinct(list_transform(range(1, len(tl) - 3 + 2),
+              i -> array_to_string(list_slice(tl, i, i + 2), ' '))) END AS sl
+  FROM t),
+ex AS (SELECT eid, unnest(sl) AS g FROM sh),
+common AS (
+  SELECT a.eid AS id1, b.eid AS id2, count(*) AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.eid < b.eid
+  GROUP BY 1, 2)
+SELECT id1, id2, jaccard FROM (
+  SELECT c.id1, c.id2,
+         round(c.c * 1.0 / (len(x.sl) + len(y.sl) - c.c), 6) AS jaccard
+  FROM common c JOIN sh x ON x.eid = c.id1 JOIN sh y ON y.eid = c.id2)
+WHERE jaccard >= 0.2"""
+
+    _jointoks = """jt AS (
+  SELECT doc_id AS eid,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
+                       x -> x <> '')) AS tl
+  FROM documents),
+jx AS (SELECT eid, len(tl) AS f, unnest(tl) AS tok FROM jt),
+jc AS (
+  SELECT a.eid AS id1, b.eid AS id2, a.f AS f1, b.f AS f2, count(*) AS c
+  FROM jx a JOIN jx b ON a.tok = b.tok AND a.eid <> b.eid
+  GROUP BY 1, 2, 3, 4)"""
+
+    o["ejoin_cosine"] = f"""WITH {_jointoks}
+SELECT id1, id2, sim FROM (
+  SELECT id1, id2,
+         round(c / (sqrt(CAST(f1 AS DOUBLE) * f2)), 6) AS sim
+  FROM jc WHERE id1 < id2)
+WHERE sim >= 0.9"""
+
+    o["topk_join"] = f"""WITH {_jointoks},
+s AS (
+  SELECT id1, id2, round(c / (sqrt(CAST(f1 AS DOUBLE) * f2)), 6) AS sim
+  FROM jc WHERE id1 < id2)
+SELECT id1, id2, sim FROM s
+QUALIFY row_number() OVER (ORDER BY sim DESC, id1, id2) <= 200"""
+
+    o["pe_topk_join"] = f"""WITH {_jointoks},
+s AS (
+  SELECT id2 AS doc_id, id1 AS neighbor,
+         round(c / (sqrt(CAST(f1 AS DOUBLE) * f2)), 6) AS sim
+  FROM jc)
+SELECT doc_id, neighbor, sim,
+       row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, neighbor) AS rank
+FROM s
+QUALIFY rank <= 5"""
+
+    langs = sorted(A.STOPWORDS)
+    score_exprs = []
+    for lang in langs:
+        arr = "[" + ", ".join(f"'{w}'" for w in A.STOPWORDS[lang]) + "]"
+        score_exprs.append(
+            f"CAST(len(list_filter(tl, x -> list_contains({arr}, x))) AS DOUBLE)"
+            f" AS s_{lang}")
+    case_lang = "CASE " + " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs) + " END"
+    o["lang_id"] = f"""WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
+                     x -> x <> '') AS tl
+  FROM documents),
+sc AS (SELECT doc_id, {', '.join(score_exprs)} FROM t),
+mx AS (SELECT *, greatest({', '.join('s_' + lang for lang in langs)}) AS m FROM sc)
+SELECT doc_id, {case_lang} AS lang_pred, m AS lang_score FROM mx"""
+
+    en_arr = "[" + ", ".join(f"'{w}'" for w in A.STOPWORDS["en"]) + "]"
+    o["quality_score"] = f"""WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
+                     x -> x <> '') AS tl
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         len(tl) AS n_tokens,
+         CASE WHEN len(tl) > 0 THEN
+           round(list_sum(list_transform(tl, x -> len(x))) * 1.0 / len(tl), 6)
+         ELSE 0.0 END AS avg_token_len,
+         CASE WHEN len(tl) > 0 THEN
+           round(len(list_filter(tl, x -> list_contains({en_arr}, x))) * 1.0
+                 / len(tl), 6)
+         ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(tl) > 0 THEN
+           round(len(list_distinct(tl)) * 1.0 / len(tl), 6)
+         ELSE 0.0 END AS unique_ratio,
+         CASE WHEN len(text) > 0 THEN
+           round(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0
+                 / len(text), 6)
+         ELSE 0.0 END AS alpha_ratio
+  FROM t)
+SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, unique_ratio,
+       alpha_ratio,
+       round((CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10
+                   THEN 0.25 ELSE 0 END)
+           + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN unique_ratio >= 0.3 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0 END), 2)
+       AS quality_score
+FROM feat"""
+
+    o["token_count"] = """SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
+                       x -> x <> '')) AS n_tokens,
+       len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
+                         x -> x <> ''))) AS n_unique_tokens,
+       len(text) AS n_chars
+FROM documents"""
+
+    _cos = ("list_dot_product(a.v, b.v) / "
+            "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")
+    o["ann_topk"] = f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       round({_cos}, 6) AS cosine,
+       row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY round({_cos}, 6) DESC, b.vec_id) AS rank
+FROM v a JOIN v b ON a.vec_id <> b.vec_id
+WHERE a.vec_id < 20
+QUALIFY rank <= 10"""
+
+    bucket = " + ".join(
+        f"(CASE WHEN v[{d + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(range(8)))
+    o["ann_lsh_topk"] = f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {bucket} AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       round({_cos}, 6) AS cosine,
+       row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY round({_cos}, 6) DESC, b.vec_id) AS rank
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+QUALIFY rank <= 10"""
+
+    o["embedding_dedup"] = f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {bucket} AS bucket
+  FROM embeddings)
+SELECT id1, id2, cosine FROM (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+         round({_cos}, 6) AS cosine
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE cosine >= 0.7"""
+
+    return o
+
+
+ORACLES = _build_oracles()

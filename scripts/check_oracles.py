@@ -1,0 +1,93 @@
+"""Run every (query, oracle) pair and report row-count/schema/value
+mismatches — a local replica of the driver's correctness gate.
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from pyjedai_spark.queries import ORACLES, QUERIES  # noqa: E402
+from pyjedai_spark.session import get_spark  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def compare(name, sdf, con, sql):
+    s = sdf.toPandas()
+    d = con.execute(sql).df()
+    if sorted(s.columns) != sorted(d.columns):
+        return f"SCHEMA {sorted(s.columns)} vs {sorted(d.columns)}"
+    cols = sorted(s.columns)
+    s, d = s[cols].sort_values(cols).reset_index(drop=True), \
+        d[cols].sort_values(cols).reset_index(drop=True)
+    if len(s) != len(d):
+        return f"ROWS {len(s)} vs {len(d)}"
+    for c in cols:
+        try:
+            if s[c].dtype.kind == "f" or d[c].dtype.kind == "f":
+                import numpy as np
+
+                if not np.allclose(s[c].astype(float), d[c].astype(float),
+                                   atol=1e-9, rtol=0, equal_nan=True):
+                    bad = (s[c].astype(float) - d[c].astype(float)).abs().idxmax()
+                    return (f"VALUES col {c} row {bad}: "
+                            f"{s[c][bad]} vs {d[c][bad]}")
+            else:
+                if not s[c].astype(str).equals(d[c].astype(str)):
+                    neq = s[c].astype(str) != d[c].astype(str)
+                    i = neq.idxmax()
+                    return f"VALUES col {c} row {i}: {s[c][i]} vs {d[c][i]}"
+        except Exception as ex:
+            return f"CMPERR col {c}: {ex}"
+    return None
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        try:
+            con.execute(f"create view {t} as select * from "
+                        f"read_parquet('{sf_dir}/{t}.parquet')")
+        except Exception:
+            pass
+    ok = bad = 0
+    for name, qfn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = qfn(spark, sf_dir)
+            if name in ORACLES:
+                err = compare(name, sdf, con, ORACLES[name])
+                status = err or f"OK ({sdf.count()} rows)"
+            else:
+                n = sdf.count()
+                status = f"ROWS-ONLY OK ({n} rows)"
+                err = None
+        except Exception as ex:
+            err = f"EXC {type(ex).__name__}: {str(ex)[:300]}"
+            status = err
+        dt = time.time() - t0
+        print(f"{name:28s} {dt:6.1f}s  {status}")
+        if err:
+            bad += 1
+        else:
+            ok += 1
+    print(f"\n{ok} ok, {bad} bad")
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
