@@ -59,7 +59,8 @@ class CheckpointManager:
             .withColumn("_h", F.xxhash64(*[F.col(c) for c in out.columns]))
             .groupBy("_pid")
             .agg(F.count("*").alias("rows"),
-                 F.sum("_h").alias("content_sig"))
+                 # bit_xor: order-insensitive, overflow-free under ANSI
+                 F.expr("bit_xor(_h)").alias("content_sig"))
             .collect()
         )
         meta = {

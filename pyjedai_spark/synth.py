@@ -72,8 +72,11 @@ def generate_webtext(n_docs: int = 500, dup_fraction: float = 0.3,
         nonlocal eid
         text = " ".join(tokens)
         url = f"https://example.org/p/{eid:08d}"
-        html = (f"<html><head><title>doc {eid}</title></head><body>"
-                f"<p>{text}</p></body></html>").encode("utf-8")
+        # tag-only chrome (no extra text content) so that
+        # extract_text_py(html) == text byte-for-byte — the per-url
+        # invariant of BASELINE.json input_hint
+        html = (f'<html><head><meta charset="utf-8" data-doc="{eid}"/></head>'
+                f"<body><p>{text}</p></body></html>").encode("utf-8")
         rows.append({
             "eid": eid,
             "url": url,
