@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline dedup/ER queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "dedup_bench_total", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1, "docs_per_sec": ...}
+
+Each query is forced end-to-end with a ``noop``-format write (full
+computation, no driver-side collect). Timings are per-query wall
+seconds; ``value`` is the total across headline queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The headline set: one representative per engine family (SURVEY.md §2)
+# - flagship reference-DER chain (blocking->purging->filtering->CNP->
+#   matching->connected components)
+# - MinHash-LSH near-dup (the at-scale path of the north rule)
+# - SimHash Hamming-ball candidate pairs
+# - suffix-array substring dedup (long-span duplicates)
+# - EJoin token-similarity join
+# - per-node cardinality pruning (meta-blocking)
+# - brute-force ANN top-k over embeddings
+# - exact dedup (hash-groupBy)
+HEADLINE = [
+    "der_dedup_clusters",
+    "minhash_near_dup",
+    "simhash_pairs",
+    "substring_dedup",
+    "ejoin_cosine",
+    "cnp_js",
+    "ann_topk",
+    "exact_dedup",
+]
+
+
+def _force(df) -> int:
+    """Force full evaluation executor-side; return row count via the
+    cheapest full-plan action (noop write has no count, so count())."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyjedai_spark.session import get_spark
+
+    spark = get_spark(app_name="pyjedai-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyjedai_spark.queries import QUERIES
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    flagship = timings["der_dedup_clusters"]
+    out = {
+        "metric": "dedup_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec_flagship": round(n_docs / flagship, 2) if flagship else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -132,6 +132,97 @@ def token_substrings(tokens_col, min_length: int, max_token_len: int = 24) -> Co
     )
 
 
+# nltk's English stopword list (public; reference downloads it at
+# datamodel.py:318 — embedded here so the container needs no nltk).
+NLTK_EN_STOPWORDS = [
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "you're", "you've", "you'll", "you'd", "your", "yours", "yourself",
+    "yourselves", "he", "him", "his", "himself", "she", "she's", "her",
+    "hers", "herself", "it", "it's", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom",
+    "this", "that", "that'll", "these", "those", "am", "is", "are", "was",
+    "were", "be", "been", "being", "have", "has", "had", "having", "do",
+    "does", "did", "doing", "a", "an", "the", "and", "but", "if", "or",
+    "because", "as", "until", "while", "of", "at", "by", "for", "with",
+    "about", "against", "between", "into", "through", "during", "before",
+    "after", "above", "below", "to", "from", "up", "down", "in", "out",
+    "on", "off", "over", "under", "again", "further", "then", "once",
+    "here", "there", "when", "where", "why", "how", "all", "any", "both",
+    "each", "few", "more", "most", "other", "some", "such", "no", "nor",
+    "not", "only", "own", "same", "so", "than", "too", "very", "s", "t",
+    "can", "will", "just", "don", "don't", "should", "should've", "now",
+    "d", "ll", "m", "o", "re", "ve", "y", "ain", "aren", "aren't",
+    "couldn", "couldn't", "didn", "didn't", "doesn", "doesn't", "hadn",
+    "hadn't", "hasn", "hasn't", "haven", "haven't", "isn", "isn't", "ma",
+    "mightn", "mightn't", "mustn", "mustn't", "needn", "needn't", "shan",
+    "shan't", "shouldn", "shouldn't", "wasn", "wasn't", "weren", "weren't",
+    "won", "won't", "wouldn", "wouldn't",
+]
+
+
+def clean_text(col, remove_stopwords: bool = True,
+               remove_punctuation: bool = True, remove_numbers: bool = True,
+               remove_unicodes: bool = True) -> Column:
+    """clean_dataset normalization (datamodel.py:310-353) as one column
+    expression chain, same operation ORDER as the reference: lower ->
+    strip digits -> strip non-ASCII -> strip punctuation (keep \\w\\s) ->
+    drop stopwords (whitespace split, single-space rejoin)."""
+    s = F.lower(_col(col))
+    if remove_numbers:
+        s = F.regexp_replace(s, r"\d+", "")
+    if remove_unicodes:
+        s = F.regexp_replace(s, r"[^\x00-\x7F]+", "")
+    if remove_punctuation:
+        s = F.regexp_replace(s, r"[^\w\s]", "")
+    if remove_stopwords:
+        stop = F.array(*[F.lit(x) for x in NLTK_EN_STOPWORDS])
+        words = F.filter(F.split(s, r"\s+"),
+                         lambda x: (x != F.lit("")) & ~F.array_contains(stop, x))
+        s = F.array_join(words, " ")
+    return s
+
+
+def token_qgram_combo_keys(tokens_col, q: int = 6, threshold: float = 0.95,
+                           max_qgrams: int = 15) -> Column:
+    """ExtendedQGramsBlocking keys (block_building.py:714-773): per
+    token, q-grams (first <= MAX_QGRAMS=15); keys = concatenations of
+    every ordered q-gram combination of size >= max(1, floor(L*t)).
+
+    Column-expression fast path for the t >= 14/15 regime (the 0.95
+    default): there floor(L*t) = L-1 for all L in 2..15, so the key set
+    is exactly {full concatenation} ∪ {drop-one concatenations} —
+    generated with slice/array_join, no UDF. Lower thresholds are
+    combinatorial; use the pandas-UDF fallback in block_building.
+    """
+    if threshold < 14.0 / 15.0:
+        raise ValueError("column-expression path needs threshold >= 14/15; "
+                         "use extended_qgrams_blocking(udf_fallback=True)")
+    t_ = _col(tokens_col)
+
+    def per_token(tok):
+        grams_all = F.transform(
+            F.sequence(F.lit(1), F.length(tok) - F.lit(q - 1)),
+            lambda i: tok.substr(i, F.lit(q)),
+        )
+        g = F.slice(grams_all, 1, max_qgrams)
+        n = F.size(g)
+        full = F.array_join(g, "")
+        drop_one = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.array_join(F.slice(g, 1, i - 1), ""),
+                F.array_join(F.slice(g, i + F.lit(1), n - i), ""),
+            ),
+        )
+        return (
+            F.when(F.length(tok) < q, F.array(tok))
+            .when(F.length(tok) == q, F.array(tok))
+            .otherwise(F.concat(F.array(full), drop_one))
+        )
+
+    return F.array_distinct(F.flatten(F.transform(t_, per_token)))
+
+
 def token_hash_u32(tok: Column) -> Column:
     """Deterministic 32-bit token hash = first 8 hex chars of md5.
 

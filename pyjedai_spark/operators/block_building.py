@@ -13,6 +13,7 @@ explosion.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -77,6 +78,65 @@ def extended_suffix_arrays_blocking(docs: DataFrame, suffix_length: int = 6,
     """Key = any token substring with len >= suffix_length
     (ExtendedSuffixArraysBlocking defaults 6/39, block_building.py:635-690)."""
     p = _postings(docs, T.token_substrings(T.tokens(text_col), suffix_length), id_col)
+    return keep_multi_entity_blocks(p, 2, max_block_size)
+
+
+def extended_qgrams_blocking(docs: DataFrame, q: int = 6,
+                             threshold: float = 0.95,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             max_block_size: int | None = None,
+                             udf_fallback: bool = False) -> DataFrame:
+    """Key = ordered q-gram combination of size >= max(1, floor(L*t))
+    (ExtendedQGramsBlocking, block_building.py:692-788, MAX_QGRAMS=15).
+
+    Default path is pure column expressions (valid for t >= 14/15, where
+    the combination set is {full, drop-one}); ``udf_fallback`` switches
+    to an Arrow pandas UDF with the reference's recursive generator for
+    arbitrary thresholds.
+    """
+    if not udf_fallback and threshold >= 14.0 / 15.0:
+        keys = T.token_qgram_combo_keys(T.tokens(text_col), q, threshold)
+        p = _postings(docs, keys, id_col)
+        return keep_multi_entity_blocks(p, 2, max_block_size)
+
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _keys(texts: pd.Series) -> pd.Series:
+        import re
+
+        def combos(grams: list[str], size: int) -> list[str]:
+            # ordered combinations, concatenated (block_building.py:754-773)
+            if size == 0 or len(grams) < size:
+                return []
+            out = []
+            from itertools import combinations
+
+            for c in combinations(range(len(grams)), size):
+                out.append("".join(grams[i] for i in c))
+            return out
+
+        def per_doc(s: str) -> list[str]:
+            keys: set[str] = set()
+            for tok in set(filter(None, re.split(r"[\W_]", str(s).lower()))):
+                if len(tok) < q:
+                    keys.add(tok)
+                    continue
+                grams = [tok[i:i + q] for i in range(len(tok) - q + 1)]
+                if len(grams) == 1:
+                    keys.update(grams)
+                    continue
+                grams = grams[:15]
+                lo = max(1, math.floor(len(grams) * threshold))
+                for size in range(lo, len(grams) + 1):
+                    keys.update(combos(grams, size))
+            return sorted(keys)
+
+        return texts.map(per_doc)
+
+    p = _postings(docs, _keys(F.col(text_col)), id_col)
     return keep_multi_entity_blocks(p, 2, max_block_size)
 
 

@@ -145,9 +145,12 @@ def entity_matching(pairs: DataFrame, docs: DataFrame,
             .join(txt.select(F.col("_id").alias("id2"),
                              F.col("_s").alias("_s2")), "id2")
         )
-        # normalized levenshtein similarity, JVM builtin
-        sim = (1.0 - F.levenshtein("_s1", "_s2")
-               / F.greatest(F.length("_s1"), F.length("_s2"))).cast("double")
+        # normalized levenshtein similarity, JVM builtin; equal strings
+        # short-circuit to 1.0 (also guards 0/0 on two empty strings)
+        sim = F.when(F.col("_s1") == F.col("_s2"), F.lit(1.0)).otherwise(
+            (1.0 - F.levenshtein("_s1", "_s2")
+             / F.greatest(F.length("_s1"), F.length("_s2")))
+        ).cast("double")
     elif metric == "jaro":
         txt = docs.select(F.col(id_col).alias("_id"),
                           F.lower(F.col(text_col)).alias("_s"))
@@ -168,3 +171,63 @@ def entity_matching(pairs: DataFrame, docs: DataFrame,
         .where(F.col("sim") > similarity_threshold)
         .select("id1", "id2", "sim")
     )
+
+
+def tfidf_cosine_matching(pairs: DataFrame, docs: DataFrame,
+                          tokenizer: str = "word", qgram: int = 3,
+                          similarity_threshold: float = 0.0,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          round_to: int = 6) -> DataFrame:
+    """EntityMatching with the tfidf vectorizer (matching.py:464-497 ->
+    utils.py FrequencyEvaluator:1198-1268, sklearn TfidfVectorizer).
+
+    sklearn's default formula reproduced as relational algebra — NEVER
+    the reference's full n x n distance matrix (utils.py:1240-1243):
+        tf(d, t)  = raw count
+        idf(t)    = ln((1 + N) / (1 + df_t)) + 1      (smooth_idf)
+        vec(d)    = l2-normalized tf*idf
+        sim(a, b) = dot(vec(a), vec(b))
+    Doc-term weights are one aggregate; pair scores join the candidate
+    pairs to the weights on (id, term) and reduce with a sum — shuffle
+    keyed on the pair, so token skew never concentrates on one task.
+    """
+    if tokenizer == "word":
+        toks = T.whitespace_tokens(F.lower(F.col(text_col)), distinct=False)
+    elif tokenizer == "char":
+        toks = T.char_qgrams(F.col(text_col), qgram, distinct=False)
+    else:
+        raise ValueError(f"unknown tfidf tokenizer {tokenizer}")
+
+    n_docs = docs.count()
+    dt = (
+        docs.select(F.col(id_col).alias("eid"), F.explode(toks).alias("term"))
+        .groupBy("eid", "term").agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = dt.groupBy("term").agg(F.count("*").alias("df"))
+    idf = df_.select(
+        "term",
+        (F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.col("df"))) + 1.0).alias("idf"),
+    )
+    w = dt.join(idf, "term").select(
+        "eid", "term", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norms = w.groupBy("eid").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    w1 = w.select(F.col("eid").alias("id1"), "term", F.col("w").alias("w1"))
+    w2 = w.select(F.col("eid").alias("id2"), "term", F.col("w").alias("w2"))
+    dots = (
+        pairs.join(w1, "id1").join(w2, ["id2", "term"])
+        .groupBy("id1", "id2").agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    out = (
+        pairs.join(dots, ["id1", "id2"], "left")
+        .join(norms.select(F.col("eid").alias("id1"), F.col("nrm").alias("n1")), "id1")
+        .join(norms.select(F.col("eid").alias("id2"), F.col("nrm").alias("n2")), "id2")
+        .withColumn(
+            "sim",
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0.0))
+                / (F.col("n1") * F.col("n2")), round_to
+            ),
+        )
+    )
+    return out.where(F.col("sim") > similarity_threshold).select("id1", "id2", "sim")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from .datamodel import load_documents
 from .functions import analysis as A
 from .functions import vectors as V
+from .functions import text as TXT
 from .operators import block_building as BB
 from .operators import block_cleaning as BC
 from .operators import clustering as CL
@@ -24,6 +25,8 @@ from .operators import comparison_cleaning as CC
 from .operators import dedup as DD
 from .operators import joins as J
 from .operators import matching as M
+from .operators import progressive as PR
+from .operators import sorted_neighborhood as SN
 
 EPS = 1e-9
 
@@ -489,6 +492,176 @@ def q_unique_mapping(spark, sf_dir):
                                         weight_col="sim")
 
 
+def q_qgrams_blocking(spark, sf_dir):
+    p = BB.qgrams_blocking(_docs(spark, sf_dir), q=4)
+    return p.groupBy(F.col("key")).agg(F.count("*").alias("block_size"))
+
+
+def q_suffix_blocking(spark, sf_dir):
+    p = BB.suffix_arrays_blocking(_docs(spark, sf_dir), suffix_length=4,
+                                  max_block_size=53)
+    return p.groupBy(F.col("key")).agg(F.count("*").alias("block_size"))
+
+
+def q_ext_suffix_blocking(spark, sf_dir):
+    p = BB.extended_suffix_arrays_blocking(_docs(spark, sf_dir),
+                                           suffix_length=4, max_block_size=39)
+    return p.groupBy(F.col("key")).agg(F.count("*").alias("block_size"))
+
+
+def q_ext_qgrams_blocking(spark, sf_dir):
+    p = BB.extended_qgrams_blocking(_docs(spark, sf_dir), q=4, threshold=0.95)
+    return p.groupBy(F.col("key")).agg(F.count("*").alias("block_size"))
+
+
+def q_gpsn_acf(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    return SN.global_psn(p, window=3, scheme="ACF")
+
+
+def q_gpsn_id(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    return SN.global_psn(p, window=3, scheme="ID")
+
+
+def q_lpsn_ncf(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    return SN.local_psn(p, window=3, scheme="NCF")
+
+
+def q_pcep_topk(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    out = PR.global_top_pm(p, budget=500, scheme="JS")
+    return out.select("id1", "id2", F.round("weight", 6).alias("weight"),
+                      F.col("emit_rank").cast("long").alias("emit_rank"))
+
+
+def q_pcnp_dfs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    p = BB.standard_blocking(docs)
+    out = PR.local_top_pm(p, budget=500, scheme="CBS")
+    return out.select("id1", "id2", F.round("weight", 6).alias("weight"),
+                      F.col("emit_rank").cast("long").alias("emit_rank"))
+
+
+def q_random_pm(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    out = PR.random_pm(p, budget=200)
+    return out.select("id1", "id2",
+                      F.col("emit_rank").cast("long").alias("emit_rank"))
+
+
+def q_pes_hb(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    out = PR.pes(p, budget=300, scheme="CBS", method="HB")
+    return out.select("id1", "id2", F.round("weight", 6).alias("weight"),
+                      F.col("emit_rank").cast("long").alias("emit_rank"))
+
+
+def _cnp_cands(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    p = BB.standard_blocking(docs)
+    return docs, CC.cardinality_node_pruning(
+        p, "JS", num_entities=docs.count()).select("id1", "id2")
+
+
+def q_em_dice(spark, sf_dir):
+    docs, cands = _cnp_cands(spark, sf_dir)
+    return M.entity_matching(cands, docs, metric="dice",
+                             similarity_threshold=0.4, round_to=6)
+
+
+def q_em_jaccard_quirk(spark, sf_dir):
+    docs, cands = _cnp_cands(spark, sf_dir)
+    return M.entity_matching(cands, docs, metric="jaccard",
+                             similarity_threshold=0.2, round_to=6)
+
+
+def q_em_overlap(spark, sf_dir):
+    docs, cands = _cnp_cands(spark, sf_dir)
+    return M.entity_matching(cands, docs, metric="overlap_coefficient",
+                             similarity_threshold=0.5, round_to=6)
+
+
+def q_em_levenshtein(spark, sf_dir):
+    docs, cands = _cnp_cands(spark, sf_dir)
+    # round BEFORE the threshold (entity_matching rounds first when
+    # round_to is set) so the retained set matches the oracle's
+    # round-then-filter exactly
+    return M.entity_matching(cands, docs, metric="levenshtein",
+                             similarity_threshold=0.3, round_to=6)
+
+
+def q_em_jaro(spark, sf_dir):
+    docs, cands = _cnp_cands(spark, sf_dir)
+    return M.entity_matching(cands, docs, metric="jaro",
+                             similarity_threshold=0.5, round_to=6)
+
+
+def q_tfidf_cosine(spark, sf_dir):
+    docs, cands = _cnp_cands(spark, sf_dir)
+    return M.tfidf_cosine_matching(cands, docs, tokenizer="word",
+                                   similarity_threshold=0.3, round_to=6)
+
+
+def q_clean_text(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", TXT.clean_text(F.col("text")).alias("cleaned"))
+
+
+def q_lsh_recall_eval(spark, sf_dir):
+    """Evaluation operator (evaluation.py:54-79): precision/recall/F1 of
+    the MinHash-LSH candidate set against exact 3-shingle Jaccard>=0.5
+    ground truth — semi-join counting, no pair loop."""
+    docs = _docs(spark, sf_dir)
+    pred = DD.lsh_candidate_pairs(docs, k=32, bands=8, shingle_size=3,
+                                  max_bucket=None)
+    gt = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("id1", "id2")
+    tp = pred.join(gt, ["id1", "id2"], "left_semi").count()
+    np_, ng = pred.count(), gt.count()
+    prec = tp / np_ if np_ else 0.0
+    rec = tp / ng if ng else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return spark.createDataFrame(
+        [(tp, np_ - tp, ng - tp, round(prec, 6), round(rec, 6), round(f1, 6))],
+        "tp long, fp long, fn long, prec double, recall double, f1 double")
+
+
+def q_ejoin_dice_multiset(spark, sf_dir):
+    return J.ejoin(_docs(spark, sf_dir), similarity_threshold=0.8,
+                   metric="dice", tokenization="standard_multiset",
+                   round_to=6)
+
+
+def q_ejoin_jaccard_qgrams(spark, sf_dir):
+    return J.ejoin(_docs(spark, sf_dir), similarity_threshold=0.95,
+                   metric="jaccard", tokenization="qgrams", qgrams=3,
+                   round_to=6)
+
+
+def q_center_clustering(spark, sf_dir):
+    docs, cands = _cnp_cands(spark, sf_dir)
+    m = M.entity_matching(cands, docs, metric="cosine",
+                          similarity_threshold=0.55, round_to=6)
+    return CL.center_clustering(m, similarity_threshold=0.55, weight_col="sim")
+
+
+def q_merge_center_clustering(spark, sf_dir):
+    docs, cands = _cnp_cands(spark, sf_dir)
+    m = M.entity_matching(cands, docs, metric="cosine",
+                          similarity_threshold=0.55, round_to=6)
+    return CL.center_clustering(m, similarity_threshold=0.55, weight_col="sim",
+                                merge=True)
+
+
+def q_best_match_clustering(spark, sf_dir):
+    docs, cands = _cnp_cands(spark, sf_dir)
+    m = M.entity_matching(cands, docs, metric="cosine",
+                          similarity_threshold=0.55, round_to=6)
+    return CL.best_match_clustering(m, similarity_threshold=0.55,
+                                    weight_col="sim")
+
+
 QUERIES = {
     "sb_blocks": q_sb_blocks,
     "sb_block_stats": q_sb_block_stats,
@@ -526,6 +699,30 @@ QUERIES = {
     # rows-only (no SQL oracle): pandas-UDF path & sequential clusterer
     "webtext_minhash_clusters": q_webtext_minhash_clusters,
     "unique_mapping": q_unique_mapping,
+    "qgrams_blocking": q_qgrams_blocking,
+    "suffix_blocking": q_suffix_blocking,
+    "ext_suffix_blocking": q_ext_suffix_blocking,
+    "ext_qgrams_blocking": q_ext_qgrams_blocking,
+    "gpsn_acf": q_gpsn_acf,
+    "gpsn_id": q_gpsn_id,
+    "lpsn_ncf": q_lpsn_ncf,
+    "pcep_topk": q_pcep_topk,
+    "pcnp_dfs": q_pcnp_dfs,
+    "random_pm": q_random_pm,
+    "pes_hb": q_pes_hb,
+    "em_dice": q_em_dice,
+    "em_jaccard_quirk": q_em_jaccard_quirk,
+    "em_overlap": q_em_overlap,
+    "em_levenshtein": q_em_levenshtein,
+    "em_jaro": q_em_jaro,
+    "tfidf_cosine": q_tfidf_cosine,
+    "clean_text": q_clean_text,
+    "lsh_recall_eval": q_lsh_recall_eval,
+    "ejoin_dice_multiset": q_ejoin_dice_multiset,
+    "ejoin_jaccard_qgrams": q_ejoin_jaccard_qgrams,
+    "center_clustering": q_center_clustering,
+    "merge_center_clustering": q_merge_center_clustering,
+    "best_match_clustering": q_best_match_clustering,
 }
 
 
@@ -857,6 +1054,288 @@ SELECT id1, id2, cosine FROM (
          round({_cos}, 6) AS cosine
   FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 WHERE cosine >= 0.7"""
+
+    # ---------------- blocking-key families (q / suffix / substring = 4)
+
+    _tok_cte = """tk AS (
+  SELECT doc_id AS eid,
+         unnest(list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '[\\W_]'), x -> x <> ''))) AS t
+  FROM documents)"""
+
+    def _family(keys_expr: str, min_b: int = 2, max_b: int | None = None) -> str:
+        cap = f"AND cnt <= {max_b}" if max_b else ""
+        return f"""WITH {_tok_cte},
+ks AS (
+  SELECT eid, key FROM (SELECT eid, unnest({keys_expr}) AS key FROM tk)
+  GROUP BY eid, key),
+sized AS (
+  SELECT key, eid, count(*) OVER (PARTITION BY key) AS cnt FROM ks)
+SELECT key, count(*) AS block_size FROM sized
+WHERE cnt >= {min_b} {cap} GROUP BY key"""
+
+    o["qgrams_blocking"] = _family(
+        """CASE WHEN len(t) < 4 THEN [t]
+        ELSE list_transform(range(1, len(t) - 4 + 2), i -> substring(t, i, 4))
+        END""")
+
+    o["suffix_blocking"] = _family(
+        """CASE WHEN len(t) < 4 THEN [t]
+        ELSE list_transform(range(1, len(t) - 4 + 2),
+                            i -> substring(t, i, len(t) - i + 1))
+        END""", 2, 53)
+
+    o["ext_suffix_blocking"] = _family(
+        """CASE WHEN len(t) < 4 THEN [t]
+        ELSE flatten(list_transform(range(1, least(len(t), 24) - 4 + 2),
+             i -> list_transform(range(4, least(len(t), 24) - i + 2),
+                                 L -> substring(t, i, L))))
+        END""", 2, 39)
+
+    o["ext_qgrams_blocking"] = f"""WITH {_tok_cte},
+gr AS (
+  SELECT eid, t,
+         CASE WHEN len(t) <= 4 THEN NULL
+         ELSE list_slice(list_transform(range(1, len(t) - 4 + 2),
+                                        i -> substring(t, i, 4)), 1, 15)
+         END AS g
+  FROM tk),
+ks AS (
+  SELECT eid, key FROM (
+    SELECT eid, unnest(CASE WHEN g IS NULL THEN [t]
+        ELSE list_concat([array_to_string(g, '')],
+             list_transform(range(1, len(g) + 1),
+                 i -> coalesce(array_to_string(list_slice(g, 1, i - 1), ''), '')
+                      || coalesce(array_to_string(list_slice(g, i + 1, len(g)),
+                                                  ''), '')))
+        END) AS key
+    FROM gr)
+  GROUP BY eid, key),
+sized AS (SELECT key, eid, count(*) OVER (PARTITION BY key) AS cnt FROM ks)
+SELECT key, count(*) AS block_size FROM sized WHERE cnt >= 2 GROUP BY key"""
+
+    # ---------------- sorted neighborhood (PSN), window = 3
+
+    _psn = f"""{SB},
+pos AS (
+  SELECT row_number() OVER (ORDER BY key, eid) - 1 AS pos, eid FROM sb),
+np AS (SELECT eid, count(*) AS np FROM pos GROUP BY eid),
+offs AS (SELECT unnest(range(1, 4)) AS w),
+co AS (
+  SELECT least(a.eid, b.eid) AS id1, greatest(a.eid, b.eid) AS id2, o.w AS w
+  FROM pos a CROSS JOIN offs o JOIN pos b ON b.pos = a.pos + o.w
+  WHERE a.eid <> b.eid)"""
+
+    o["gpsn_acf"] = f"""WITH {_psn}
+SELECT id1, id2, round(CAST(count(*) AS DOUBLE), 6) AS weight
+FROM co GROUP BY 1, 2"""
+
+    o["gpsn_id"] = f"""WITH {_psn}
+SELECT id1, id2, round(sum(1.0 / w), 6) AS weight FROM co GROUP BY 1, 2"""
+
+    o["lpsn_ncf"] = f"""WITH {_psn},
+pw AS (SELECT id1, id2, w, CAST(count(*) AS DOUBLE) AS c
+       FROM co GROUP BY 1, 2, 3),
+wt AS (SELECT p.id1, p.id2, p.c / (n1.np + n2.np - p.c) AS wt
+       FROM pw p JOIN np n1 ON n1.eid = p.id1 JOIN np n2 ON n2.eid = p.id2)
+SELECT id1, id2, round(max(wt), 6) AS weight FROM wt GROUP BY 1, 2"""
+
+    # ---------------- progressive emission
+
+    o["pcep_topk"] = f"""WITH {SB},
+{_edges_sql('sb', 'JS')}
+SELECT id1, id2, round(w, 6) AS weight,
+       row_number() OVER (ORDER BY w DESC, id1, id2) AS emit_rank
+FROM e QUALIFY emit_rank <= 500"""
+
+    o["pcnp_dfs"] = f"""WITH {SB},
+{_cnp_sql('sb', 'cnp', 'CBS')},
+nb AS (SELECT id1, avg(weight) AS a FROM cnp GROUP BY id1),
+nbr AS (SELECT id1, row_number() OVER (ORDER BY a DESC, id1) AS nb_rank FROM nb),
+wr AS (
+  SELECT c.id1, c.id2, c.weight, nbr.nb_rank,
+         row_number() OVER (PARTITION BY c.id1
+                            ORDER BY c.weight DESC, c.id2) AS within_rank
+  FROM cnp c JOIN nbr ON nbr.id1 = c.id1)
+SELECT id1, id2, round(weight, 6) AS weight,
+       row_number() OVER (ORDER BY nb_rank, within_rank) AS emit_rank
+FROM wr QUALIFY emit_rank <= 500"""
+
+    o["random_pm"] = f"""WITH {SB},
+pairs AS (
+  SELECT DISTINCT a.eid AS id1, b.eid AS id2
+  FROM sb a JOIN sb b ON a.key = b.key AND a.eid < b.eid)
+SELECT id1, id2,
+       row_number() OVER (
+           ORDER BY md5(CAST(id1 AS VARCHAR) || '-' || CAST(id2 AS VARCHAR)),
+                    id1, id2) AS emit_rank
+FROM pairs QUALIFY emit_rank <= 200"""
+
+    o["pes_hb"] = f"""WITH {SB},
+{_edges_sql('sb', 'CBS')},
+nb AS (SELECT id1, avg(w) AS a FROM e GROUP BY id1),
+nbr AS (SELECT id1, row_number() OVER (ORDER BY a DESC, id1) AS nb_rank FROM nb),
+wr AS (
+  SELECT c.id1, c.id2, c.w, nbr.nb_rank,
+         row_number() OVER (PARTITION BY c.id1
+                            ORDER BY c.w DESC, c.id2) AS within_rank
+  FROM e c JOIN nbr ON nbr.id1 = c.id1)
+SELECT id1, id2, round(w, 6) AS weight,
+       row_number() OVER (ORDER BY (within_rank > 1), nb_rank, within_rank)
+           AS emit_rank
+FROM wr QUALIFY emit_rank <= 300"""
+
+    # ---------------- matching metric variants (on CNP(JS) candidates)
+
+    def _matching_set_metric_sql(body: str, threshold: float) -> str:
+        return f"""WITH {SB},
+{_cnp_sql('sb', 'cnp', 'JS')},
+mt_wt AS (
+  SELECT doc_id AS eid,
+         list_sort(list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS t
+  FROM documents),
+scored AS (
+  SELECT p.id1, p.id2,
+         round(CASE WHEN a.t = b.t THEN 1.0
+               WHEN len(a.t) = 0 OR len(b.t) = 0 THEN 0.0
+               ELSE {body}
+               END, 6) AS sim
+  FROM cnp p JOIN mt_wt a ON a.eid = p.id1 JOIN mt_wt b ON b.eid = p.id2)
+SELECT id1, id2, sim FROM scored WHERE sim > {threshold}"""
+
+    _i = "len(list_intersect(a.t, b.t))"
+    o["em_dice"] = _matching_set_metric_sql(
+        f"2.0 * {_i} / (len(a.t) + len(b.t))", 0.4)
+    o["em_jaccard_quirk"] = _matching_set_metric_sql(
+        f"{_i} * 1.0 / (len(a.t) + len(b.t) + {_i})", 0.2)
+    o["em_overlap"] = _matching_set_metric_sql(
+        f"{_i} * 1.0 / least(len(a.t), len(b.t))", 0.5)
+
+    def _matching_string_metric_sql(body: str, threshold: float) -> str:
+        return f"""WITH {SB},
+{_cnp_sql('sb', 'cnp', 'JS')},
+lv AS (SELECT doc_id AS eid, lower(text) AS s FROM documents),
+scored AS (
+  SELECT p.id1, p.id2,
+         round(CASE WHEN a.s = b.s THEN 1.0 ELSE {body} END, 6) AS sim
+  FROM cnp p JOIN lv a ON a.eid = p.id1 JOIN lv b ON b.eid = p.id2)
+SELECT id1, id2, sim FROM scored WHERE sim > {threshold}"""
+
+    o["em_levenshtein"] = _matching_string_metric_sql(
+        "1.0 - levenshtein(a.s, b.s) * 1.0 / greatest(len(a.s), len(b.s))", 0.3)
+    o["em_jaro"] = _matching_string_metric_sql(
+        "jaro_similarity(a.s, b.s)", 0.5)
+
+    o["tfidf_cosine"] = f"""WITH {SB},
+{_cnp_sql('sb', 'cnp', 'JS')},
+tw AS (
+  SELECT doc_id AS eid,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+dt AS (SELECT eid, term, CAST(count(*) AS DOUBLE) AS tf FROM tw GROUP BY 1, 2),
+idf AS (
+  SELECT term,
+         ln((1.0 + (SELECT count(*) FROM documents)) / (1.0 + count(*))) + 1.0
+             AS idf
+  FROM dt GROUP BY term),
+wv AS (SELECT eid, term, tf * idf AS w FROM dt JOIN idf USING (term)),
+nrm AS (SELECT eid, sqrt(sum(w * w)) AS nrm FROM wv GROUP BY eid),
+dots AS (
+  SELECT p.id1, p.id2, sum(a.w * b.w) AS dot
+  FROM cnp p JOIN wv a ON a.eid = p.id1
+  JOIN wv b ON b.eid = p.id2 AND b.term = a.term
+  GROUP BY 1, 2),
+scored AS (
+  SELECT p.id1, p.id2,
+         round(coalesce(d.dot, 0.0) / (n1.nrm * n2.nrm), 6) AS sim
+  FROM cnp p
+  LEFT JOIN dots d ON d.id1 = p.id1 AND d.id2 = p.id2
+  JOIN nrm n1 ON n1.eid = p.id1 JOIN nrm n2 ON n2.eid = p.id2)
+SELECT id1, id2, sim FROM scored WHERE sim > 0.3"""
+
+    stop_arr = "[" + ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in TXT.NLTK_EN_STOPWORDS) + "]"
+    o["clean_text"] = f"""SELECT doc_id,
+       array_to_string(list_filter(regexp_split_to_array(
+           regexp_replace(regexp_replace(regexp_replace(lower(text),
+               '\\d+', '', 'g'), '[^\\x00-\\x7F]+', '', 'g'),
+               '[^\\w\\s]', '', 'g'),
+           '\\s+'),
+           x -> x <> '' AND NOT list_contains({stop_arr}, x)), ' ') AS cleaned
+FROM documents"""
+
+    o["lsh_recall_eval"] = f"""WITH {_tokhash_sql(3)},
+{_minhash_sig_sql(32)},
+{_bands_sql(8, 4)},
+pred AS (
+  SELECT DISTINCT a.eid AS id1, b.eid AS id2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.eid < b.eid),
+ex3 AS (SELECT eid, unnest(sl) AS g FROM hx),
+common3 AS (
+  SELECT a.eid AS id1, b.eid AS id2, count(*) AS c
+  FROM ex3 a JOIN ex3 b ON a.g = b.g AND a.eid < b.eid
+  GROUP BY 1, 2),
+gt AS (
+  SELECT id1, id2 FROM (
+    SELECT c.id1, c.id2,
+           round(c.c * 1.0 / (len(x.sl) + len(y.sl) - c.c), 6) AS jaccard
+    FROM common3 c JOIN hx x ON x.eid = c.id1 JOIN hx y ON y.eid = c.id2)
+  WHERE jaccard >= 0.5),
+cnts AS (
+  SELECT (SELECT count(*) FROM pred p JOIN gt g
+          ON g.id1 = p.id1 AND g.id2 = p.id2) AS tp,
+         (SELECT count(*) FROM pred) AS np,
+         (SELECT count(*) FROM gt) AS ng)
+SELECT tp, np - tp AS fp, ng - tp AS fn,
+       round(CASE WHEN np > 0 THEN tp * 1.0 / np ELSE 0.0 END, 6) AS prec,
+       round(CASE WHEN ng > 0 THEN tp * 1.0 / ng ELSE 0.0 END, 6) AS recall,
+       round(CASE WHEN tp > 0 THEN
+             2.0 * (tp * 1.0 / np) * (tp * 1.0 / ng)
+             / (tp * 1.0 / np + tp * 1.0 / ng) ELSE 0.0 END, 6) AS f1
+FROM cnts"""
+
+    o["ejoin_dice_multiset"] = """WITH tkm AS (
+  SELECT doc_id AS eid,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+cnts AS (SELECT eid, tok, count(*) AS k FROM tkm GROUP BY 1, 2),
+ms AS (
+  SELECT eid, tok || CAST(i AS VARCHAR) AS tok
+  FROM (SELECT eid, tok, unnest(range(0, k)) AS i FROM cnts)),
+fz AS (SELECT eid, count(*) AS f FROM ms GROUP BY eid),
+jc AS (
+  SELECT a.eid AS id1, b.eid AS id2, count(*) AS c
+  FROM ms a JOIN ms b ON a.tok = b.tok AND a.eid < b.eid
+  GROUP BY 1, 2)
+SELECT id1, id2, sim FROM (
+  SELECT j.id1, j.id2,
+         round(2.0 * j.c / (f1.f + f2.f), 6) AS sim
+  FROM jc j JOIN fz f1 ON f1.eid = j.id1 JOIN fz f2 ON f2.eid = j.id2)
+WHERE sim >= 0.8"""
+
+    o["ejoin_jaccard_qgrams"] = """WITH s0 AS (
+  SELECT doc_id AS eid, lower(text) AS s FROM documents),
+cg AS (
+  SELECT eid, CASE WHEN len(s) < 3 THEN []
+         ELSE list_distinct(list_transform(range(1, len(s) - 3 + 2),
+                                           i -> substring(s, i, 3)))
+         END AS gl
+  FROM s0),
+fz AS (SELECT eid, len(gl) AS f FROM cg),
+ex AS (SELECT eid, unnest(gl) AS g FROM cg),
+jc AS (
+  SELECT a.eid AS id1, b.eid AS id2, count(*) AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.eid < b.eid
+  GROUP BY 1, 2)
+SELECT id1, id2, sim FROM (
+  SELECT j.id1, j.id2,
+         round(j.c * 1.0 / (f1.f + f2.f - j.c), 6) AS sim
+  FROM jc j JOIN fz f1 ON f1.eid = j.id1 JOIN fz f2 ON f2.eid = j.id2)
+WHERE sim >= 0.95"""
 
     return o
 

@@ -1,0 +1,139 @@
+"""Semantics tests for the round-1 widening: PSN windows, progressive
+emission orders, ExtendedQGrams combination keys, clean_text parity
+with a pure-python reference-style implementation."""
+
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from pyjedai_spark.functions import text as T
+from pyjedai_spark.operators import block_building as BB
+from pyjedai_spark.operators import progressive as PR
+from pyjedai_spark.operators import sorted_neighborhood as SN
+
+
+def _tok(s):
+    return sorted(set(filter(None, re.split(r"[\W_]", s.lower()))))
+
+
+def _py_gpsn_acf(postings_rows, window):
+    """Reference GPSN loop (comparison_cleaning.py:862-896) with the
+    deterministic (key, eid) order instead of the unseeded shuffle."""
+    ordered = [eid for _, eid in sorted(postings_rows)]
+    weights = {}
+    for pos, eid in enumerate(ordered):
+        for w in range(1, window + 1):
+            for p2 in (pos - w, pos + w):
+                if 0 <= p2 < len(ordered) and ordered[p2] != eid:
+                    pair = (min(eid, ordered[p2]), max(eid, ordered[p2]))
+                    weights[pair] = weights.get(pair, 0.0) + 1.0
+    # each co-occurrence is visited from both endpoints -> halve
+    return {k: v / 2 for k, v in weights.items()}
+
+
+def test_gpsn_acf_matches_reference_loop(spark, docs):
+    sample = docs.limit(60)
+    p = BB.standard_blocking(sample)
+    rows = [(r["key"], r["eid"]) for r in p.collect()]
+    expected = _py_gpsn_acf(rows, window=3)
+    got = {(r["id1"], r["id2"]): r["weight"]
+           for r in SN.global_psn(p, window=3, scheme="ACF").collect()}
+    assert got == expected
+
+
+def test_lpsn_weight_is_max_over_windows(spark, docs):
+    sample = docs.limit(60)
+    p = BB.standard_blocking(sample)
+    acf_g = {(r["id1"], r["id2"]): r["weight"]
+             for r in SN.global_psn(p, window=3, scheme="ACF").collect()}
+    acf_l = {(r["id1"], r["id2"]): r["weight"]
+             for r in SN.local_psn(p, window=3, scheme="ACF").collect()}
+    assert set(acf_g) == set(acf_l)
+    for pair, wl in acf_l.items():
+        assert wl <= acf_g[pair] + 1e-9  # per-window max <= total count
+
+
+def test_emit_hb_best_per_neighborhood_first(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 5.0), (1, 3, 1.0), (1, 4, 0.5), (2, 3, 4.0), (2, 5, 3.9)],
+        "id1 long, id2 long, weight double")
+    out = PR.emit(edges, budget=5, method="HB").collect()
+    ranks = {(r["id1"], r["id2"]): r["emit_rank"] for r in out}
+    # phase 1: best edge of each neighborhood, neighborhood avg order
+    # nbh 2 avg 3.95, nbh 1 avg ~2.17 -> (2,3) first, then (1,2)
+    assert ranks[(2, 3)] == 1 and ranks[(1, 2)] == 2
+    # phase 2 drains remaining in neighborhood order
+    assert ranks[(2, 5)] == 3 and ranks[(1, 3)] == 4 and ranks[(1, 4)] == 5
+
+
+def test_emit_top_is_global_weight_order(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (3, 4, 9.0), (5, 6, 5.0)],
+        "id1 long, id2 long, weight double")
+    out = PR.emit(edges, budget=2, method="TOP").collect()
+    got = [(r["id1"], r["id2"]) for r in sorted(out, key=lambda r: r["emit_rank"])]
+    assert got == [(3, 4), (5, 6)]
+
+
+def _py_ext_qgram_keys(text, q=4, threshold=0.95):
+    """Reference ExtendedQGramsBlocking._tokenize_entity
+    (block_building.py:735-757) verbatim semantics."""
+    from itertools import combinations
+
+    keys = set()
+    for tok in set(filter(None, re.split(r"[\W_]", text.lower()))):
+        if len(tok) < q:
+            keys.add(tok)
+            continue
+        grams = [tok[i:i + q] for i in range(len(tok) - q + 1)]
+        if len(grams) == 1:
+            keys.update(grams)
+            continue
+        grams = grams[:15]
+        lo = max(1, math.floor(len(grams) * threshold))
+        for size in range(lo, len(grams) + 1):
+            for c in combinations(range(len(grams)), size):
+                keys.add("".join(grams[i] for i in c))
+    return keys
+
+
+def test_ext_qgram_column_path_matches_reference_combos(spark, docs):
+    sample = docs.limit(40).select("doc_id", "text")
+    got = (
+        sample.select(
+            "doc_id",
+            T.token_qgram_combo_keys(T.tokens("text"), 4, 0.95).alias("ks"))
+        .collect()
+    )
+    texts = {r["doc_id"]: r["text"] for r in sample.collect()}
+    for r in got:
+        assert set(r["ks"]) == _py_ext_qgram_keys(texts[r["doc_id"]])
+
+
+def test_ext_qgram_udf_fallback_agrees(spark, docs):
+    sample = docs.limit(40)
+    a = BB.extended_qgrams_blocking(sample, q=4, threshold=0.95)
+    b = BB.extended_qgrams_blocking(sample, q=4, threshold=0.95,
+                                    udf_fallback=True)
+    assert sorted((r["key"], r["eid"]) for r in a.collect()) == \
+        sorted((r["key"], r["eid"]) for r in b.collect())
+
+
+def _py_clean_text(s):
+    s = s.lower()
+    s = re.sub(r"\d+", "", s)
+    s = re.sub(r"[^\x00-\x7F]+", "", s)
+    s = re.sub(r"[^\w\s]", "", s)
+    stop = set(T.NLTK_EN_STOPWORDS)
+    return " ".join(w for w in s.split() if w not in stop)
+
+
+def test_clean_text_byte_identical_to_python(spark, docs):
+    sample = docs.limit(80)
+    got = sample.select("doc_id", T.clean_text(F.col("text")).alias("c")).collect()
+    texts = {r["doc_id"]: r["text"] for r in sample.collect()}
+    for r in got:
+        assert r["c"] == _py_clean_text(texts[r["doc_id"]]), r["doc_id"]

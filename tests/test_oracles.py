@@ -9,7 +9,8 @@ from conftest import SF_DIR, assert_df_matches_oracle
 
 FLOAT_COLS = {"weight", "sim", "jaccard", "cosine", "lang_score",
               "avg_token_len", "stopword_ratio", "unique_ratio",
-              "alpha_ratio", "quality_score", "avg_block_size"}
+              "alpha_ratio", "quality_score", "avg_block_size",
+              "prec", "recall", "f1"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
