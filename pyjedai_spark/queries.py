@@ -409,7 +409,10 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_ejoin_cosine(spark, sf_dir):
-    return J.ejoin(_docs(spark, sf_dir), similarity_threshold=0.9,
+    # 0.95: a near-duplicate threshold — at 0.9 the synthetic corpus'
+    # 57-word vocabulary makes ~20% of ALL pairs qualify and the query
+    # measures result materialization, not the join
+    return J.ejoin(_docs(spark, sf_dir), similarity_threshold=0.95,
                    metric="cosine", tokenization="standard", round_to=6)
 
 
@@ -480,6 +483,22 @@ def q_webtext_minhash_clusters(spark, sf_dir):
     docs = docs.withColumn("text", extract_text_udf(F.col("html")))
     return minhash_dedup_pipeline(docs, id_col="eid", shingle_size=3,
                                   jaccard_threshold=0.5)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal: binary payload -> 64-dim content feature (Arrow
+    pandas UDF; deterministic synthetic media, no external data)."""
+    from . import multimodal as MM
+
+    return MM.media_features(MM.synth_media(spark, 60))
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Multimodal: 1->N frame sampling via mapInPandas."""
+    from . import multimodal as MM
+
+    return MM.frame_sample(MM.synth_media(spark, 60), every_ms=500,
+                           max_frames=8)
 
 
 def q_unique_mapping(spark, sf_dir):
@@ -563,6 +582,18 @@ def _cnp_cands(spark, sf_dir):
     p = BB.standard_blocking(docs)
     return docs, CC.cardinality_node_pruning(
         p, "JS", num_entities=docs.count()).select("id1", "id2")
+
+
+def q_meta_cnp_cleaned(spark, sf_dir):
+    """Meta-blocking the way it runs in production: AFTER block purging
+    + filtering (the reference DER chain order, workflow.py:718-735).
+    Standalone CNP on raw webtext blocks is quadratic in the hot-token
+    mega-blocks; cleaning first is the scale path."""
+    docs = _docs(spark, sf_dir)
+    p = BC.block_filtering(
+        BC.block_purging(BB.standard_blocking(docs), smoothing_factor=1.0), 0.8)
+    e = CC.cardinality_node_pruning(p, "JS", num_entities=docs.count())
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
 
 
 def q_em_dice(spark, sf_dir):
@@ -710,6 +741,7 @@ QUERIES = {
     "pcnp_dfs": q_pcnp_dfs,
     "random_pm": q_random_pm,
     "pes_hb": q_pes_hb,
+    "meta_cnp_cleaned": q_meta_cnp_cleaned,
     "em_dice": q_em_dice,
     "em_jaccard_quirk": q_em_jaccard_quirk,
     "em_overlap": q_em_overlap,
@@ -723,6 +755,8 @@ QUERIES = {
     "center_clustering": q_center_clustering,
     "merge_center_clustering": q_merge_center_clustering,
     "best_match_clustering": q_best_match_clustering,
+    "media_features": q_media_features,
+    "video_frame_sample": q_video_frame_sample,
 }
 
 
@@ -940,7 +974,7 @@ SELECT id1, id2, sim FROM (
   SELECT id1, id2,
          round(c / (sqrt(CAST(f1 AS DOUBLE) * f2)), 6) AS sim
   FROM jc WHERE id1 < id2)
-WHERE sim >= 0.9"""
+WHERE sim >= 0.95"""
 
     o["topk_join"] = f"""WITH {_jointoks},
 s AS (
@@ -1184,6 +1218,12 @@ SELECT id1, id2, round(w, 6) AS weight,
        row_number() OVER (ORDER BY (within_rank > 1), nb_rank, within_rank)
            AS emit_rank
 FROM wr QUALIFY emit_rank <= 300"""
+
+    o["meta_cnp_cleaned"] = f"""WITH {SB},
+{_purging_sql('sb', 1.0, 'pp')},
+{_filtering_sql('pp', 0.8, 'bf', 'bfc')},
+{_cnp_sql('bf', 'cnp', 'JS')}
+SELECT id1, id2, round(weight, 6) AS weight FROM cnp"""
 
     # ---------------- matching metric variants (on CNP(JS) candidates)
 

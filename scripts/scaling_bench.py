@@ -1,0 +1,76 @@
+"""Two-cluster-size scaling evidence (north rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors).
+
+No real cluster exists in the sandbox, so the same job runs at two
+parallelism levels — local[8] and local[32] — on the SAME input (the
+prescribed substitute: executor-count scaling becomes core-count
+scaling; each run is a fresh JVM via subprocess so no warm-cache
+bleed). Efficiency = (thr_4N / thr_N) / 4.
+
+Usage: python scripts/scaling_bench.py [n_docs] [levels]
+       defaults: 80000 docs, levels 8,32
+Writes the result row to stdout; paste/refresh BENCH.md with it.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORPUS = "/tmp/pyjedai_scaling_corpus.parquet"
+
+
+def build_corpus(n_docs: int) -> str:
+    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        return CORPUS
+    from pyjedai_spark.session import get_spark
+    from pyjedai_spark.synth import generate_webtext
+
+    spark = get_spark("scaling-corpus", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    chunk = 5000
+    all_rows = []
+    for i in range(0, n_docs, chunk):
+        rows, _ = generate_webtext(min(chunk, n_docs - i), seed=100 + i)
+        for r in rows:
+            r["eid"] += i
+        all_rows.extend(rows)
+    df = spark.createDataFrame(
+        [(r["eid"], r["url"], r["warc_ts"], bytearray(r["html"]), r["text"],
+          r["lang"]) for r in all_rows],
+        "eid long, url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    )
+    df.repartition(32).write.mode("overwrite").parquet(CORPUS)
+    spark.stop()
+    return CORPUS
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 80_000
+    levels = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2
+                               else "8,32").split(",")]
+    corpus = build_corpus(n_docs)
+    results = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for cores in levels:
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "scaling_run.py"),
+             corpus, str(cores)],
+            capture_output=True, text=True, check=True)
+        line = out.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+        print(line)
+    lo, hi = min(levels), max(levels)
+    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) \
+        / (hi / lo)
+    print(json.dumps({"metric": "scaling_efficiency",
+                      "from_cores": lo, "to_cores": hi,
+                      "value": round(eff, 3),
+                      "threshold": 0.8, "pass": eff >= 0.8}))
+
+
+if __name__ == "__main__":
+    main()

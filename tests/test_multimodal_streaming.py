@@ -1,0 +1,128 @@
+"""Multimodal plumbing (schemas, batch shapes, determinism) and
+Structured Streaming incremental dedup (cross-batch pair discovery)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyjedai_spark import multimodal as MM
+from pyjedai_spark.streaming.incremental_dedup import start_incremental_dedup
+from pyjedai_spark.synth import generate_webtext
+
+
+def test_decode_images_schema_and_shapes(spark):
+    media = MM.synth_media(spark, 30)
+    dec = MM.decode_images(media)
+    assert dec.schema.simpleString() == (
+        "struct<media_id:bigint,width:int,height:int,"
+        "n_channels:int,pixels:binary>")
+    rows = dec.collect()
+    n_images = media.where("kind = 'image'").count()
+    assert len(rows) == n_images
+    for r in rows:
+        assert len(r["pixels"]) == r["width"] * r["height"] * r["n_channels"]
+
+
+def test_decode_images_deterministic(spark):
+    media = MM.synth_media(spark, 12)
+    a = {r["media_id"]: bytes(r["pixels"])
+         for r in MM.decode_images(media).collect()}
+    b = {r["media_id"]: bytes(r["pixels"])
+         for r in MM.decode_images(media).collect()}
+    assert a == b
+
+
+def test_decode_strict_raises_without_codec(spark):
+    media = MM.synth_media(spark, 3)
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; strict path is the real decoder")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        MM.decode_images(media, strict=True)
+
+
+def test_media_features_feed_ann(spark):
+    media = MM.synth_media(spark, 30)
+    feats = MM.media_features(media)
+    row = feats.first()
+    assert len(row["embedding"]) == 64
+    # unit-norm (or zero) vectors
+    import math
+    nrm = math.sqrt(sum(x * x for x in row["embedding"]))
+    assert abs(nrm - 1.0) < 1e-5 or nrm == 0.0
+    # downstream compatibility: embedding-cosine dedup runs unchanged
+    from pyjedai_spark.functions import vectors as V
+    emb = feats.select(F.col("media_id").alias("vec_id"), "embedding")
+    out = V.embedding_cosine_dedup(emb, threshold=0.99)
+    assert {"id1", "id2", "cosine"} <= set(out.columns)
+
+
+def test_frame_sample_one_to_many(spark):
+    media = MM.synth_media(spark, 30)
+    frames = MM.frame_sample(media, every_ms=500, max_frames=8)
+    per_vid = {r["media_id"]: r["n"] for r in
+               frames.groupBy("media_id").agg(
+                   F.count("*").alias("n")).collect()}
+    vids = {r["media_id"]: r["duration_ms"]
+            for r in media.where("kind='video'").collect()}
+    assert set(per_vid) == set(vids)
+    for mid, n in per_vid.items():
+        assert n == min(max(vids[mid] // 500, 1), 8)
+    r0 = frames.where("frame_idx = 0").first()
+    assert r0["ts_ms"] == 0 and len(r0["frame"]) == 32
+
+
+def test_resize_images_contract(spark):
+    media = MM.synth_media(spark, 12)
+    out = MM.resize_images(media, 8, 6)
+    for r in out.collect():
+        assert (r["width"], r["height"]) == (8, 6)
+        assert len(r["pixels"]) == 8 * 6 * 3
+    with pytest.raises(NotImplementedError):
+        MM.resize_images(media, 8, 6, strict=True)
+
+
+def test_incremental_dedup_finds_cross_batch_pairs(spark):
+    """Two micro-batches; a near-dup pair split ACROSS batches must be
+    found when the second batch arrives, and no pair twice."""
+    work = tempfile.mkdtemp(prefix="incdedup_")
+    inp = os.path.join(work, "in")
+    os.makedirs(inp)
+    try:
+        rows, gt = generate_webtext(n_docs=200, seed=11, dup_fraction=0.4)
+        docs = spark.createDataFrame(
+            [(r["eid"], r["text"]) for r in rows], "doc_id long, text string")
+        docs = docs.localCheckpoint()
+        # split so cluster members straddle the boundary
+        first = docs.where("doc_id % 2 = 0")
+        second = docs.where("doc_id % 2 = 1")
+
+        first.write.parquet(os.path.join(inp, "batch0"))
+        q = start_incremental_dedup(spark, inp + "/*", work,
+                                    threshold=0.5)
+        q.awaitTermination(120)
+
+        second.write.parquet(os.path.join(inp, "batch1"))
+        q2 = start_incremental_dedup(spark, inp + "/*", work,
+                                     threshold=0.5)
+        q2.awaitTermination(120)
+
+        pairs = spark.read.parquet(os.path.join(work, "pairs"))
+        got = set((r["id1"], r["id2"]) for r in pairs.collect())
+        assert len(got) == pairs.count(), "pair emitted twice"
+        cross = [(a, b) for a, b in got if (a % 2) != (b % 2)]
+        assert cross, "no cross-batch pair found"
+
+        # parity: batch pipeline on the full corpus finds the same pairs
+        from pyjedai_spark.operators import dedup as DD
+        batch_pairs = DD.minhash_dedup_pairs(docs, threshold=0.5,
+                                             shingle_size=3)
+        want = set((r["id1"], r["id2"]) for r in batch_pairs.collect())
+        assert got == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
