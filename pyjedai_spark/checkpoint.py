@@ -42,7 +42,15 @@ class CheckpointManager:
         (resume path), else compute via ``build()``, persist, record
         lineage, and return the persisted copy (truncated lineage)."""
         if not self.enabled:
-            return build()
+            # A stage boundary is STILL a materialization point even with
+            # durable checkpoints off: downstream operators (edge
+            # weighting, CNP) reference their input 3-4 times, and
+            # without a barrier each reference re-inlines the entire
+            # upstream lineage — plans grow multiplicatively (~2000
+            # physical operators for purge->filter->CNP) and every
+            # reference recomputes the chain. localCheckpoint keeps the
+            # data executor-local with no durability cost.
+            return build().localCheckpoint()
         path = self._dir(stage)
         if self.has(stage):
             meta = json.load(open(self._meta_path(stage)))

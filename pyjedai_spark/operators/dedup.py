@@ -90,21 +90,30 @@ def minhash_signatures(docs: DataFrame, k: int = 32, shingle_size: int = 1,
     hashed = T.token_hashes(toks)
     docs = ensure_parallelism(docs)
 
-    def _perm(a, b):
-        # closure factory: Spark inspects lambda arity, so the coeffs
-        # must be captured, not passed as defaulted params
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(P)
-
-    sig = F.array(*[
-        F.array_min(F.transform(hashed, _perm(a, b)))
+    # ALL k permutation minima in ONE fold over the token-hash array.
+    # The naive form — k separate array_min(transform(hashed, perm_i)) —
+    # re-evaluates `hashed` (an md5 per token) k times, because Catalyst
+    # subexpression elimination cannot extract common children out of
+    # lambda bodies; that made signatures the dominant cost at scale
+    # (32x the md5 work). Here `hashed` is the aggregate input, evaluated
+    # once per row; each token updates the k running minima via zip_with.
+    # Arithmetic is unchanged, so signatures (and the DuckDB oracles that
+    # reproduce them bit-for-bit) are identical. The [P]*k zero value
+    # doubles as the empty-doc sentinel signature.
+    coeffs = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
         for a, b in minhash_coeffs(k)
     ])
-    return docs.select(
-        F.col(id_col).alias("eid"),
-        F.when(F.size(hashed) > 0, sig).otherwise(
-            F.array(*[F.lit(P)] * k)  # empty doc sentinel signature
-        ).alias("sig"),
+    zero = F.array(*[F.lit(P)] * k).cast("array<long>")
+    sig = F.aggregate(
+        hashed,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc, coeffs,
+            lambda m, c: F.least(m, (h * c["a"] + c["b"]) % F.lit(P)),
+        ),
     )
+    return docs.select(F.col(id_col).alias("eid"), sig.alias("sig"))
 
 
 def lsh_bands(sigs: DataFrame, bands: int, rows: int) -> DataFrame:

@@ -592,6 +592,8 @@ def q_meta_cnp_cleaned(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     p = BC.block_filtering(
         BC.block_purging(BB.standard_blocking(docs), smoothing_factor=1.0), 0.8)
+    # stage barrier: CNP references its input 4x; see checkpoint.stage
+    p = p.localCheckpoint()
     e = CC.cardinality_node_pruning(p, "JS", num_entities=docs.count())
     return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
 

@@ -26,7 +26,11 @@ DEFAULT_CONFS = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # local mode: driver heap IS the executor heap for every core —
+    # size it for 32 concurrent tasks or GC becomes the serial
+    # bottleneck that caps scaling (128 GiB box; leave room for Python
+    # workers + page cache)
+    "spark.driver.memory": "48g",
 }
 
 

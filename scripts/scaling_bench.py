@@ -23,28 +23,34 @@ CORPUS = "/tmp/pyjedai_scaling_corpus.parquet"
 
 
 def build_corpus(n_docs: int) -> str:
-    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+    marker = os.path.join(CORPUS, f"_N{n_docs}")
+    if os.path.exists(marker):
         return CORPUS
+    import shutil
+
+    shutil.rmtree(CORPUS, ignore_errors=True)
     from pyjedai_spark.session import get_spark
     from pyjedai_spark.synth import generate_webtext
 
-    spark = get_spark("scaling-corpus", master="local[8]")
+    spark = get_spark("scaling-corpus", master="local[16]")
     spark.sparkContext.setLogLevel("ERROR")
-    chunk = 5000
-    all_rows = []
+    chunk = 100_000
     for i in range(0, n_docs, chunk):
-        rows, _ = generate_webtext(min(chunk, n_docs - i), seed=100 + i)
-        for r in rows:
-            r["eid"] += i
-        all_rows.extend(rows)
-    df = spark.createDataFrame(
-        [(r["eid"], r["url"], r["warc_ts"], bytearray(r["html"]), r["text"],
-          r["lang"]) for r in all_rows],
-        "eid long, url string, warc_ts timestamp, html binary, "
-        "text string, lang string",
-    )
-    df.repartition(32).write.mode("overwrite").parquet(CORPUS)
+        rows = []
+        for j in range(i, min(i + chunk, n_docs), 5000):
+            part, _ = generate_webtext(min(5000, n_docs - j), seed=100 + j)
+            for r in part:
+                r["eid"] += j
+            rows.extend(part)
+        df = spark.createDataFrame(
+            [(r["eid"], r["url"], r["warc_ts"], bytearray(r["html"]),
+              r["text"], r["lang"]) for r in rows],
+            "eid long, url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+        df.repartition(8).write.mode("append").parquet(CORPUS)
     spark.stop()
+    open(marker, "w").close()
     return CORPUS
 
 

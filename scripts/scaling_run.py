@@ -23,16 +23,32 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from pyjedai_spark.pipeline import minhash_dedup_pipeline
+    from pyjedai_spark.operators import clustering as CL
+    from pyjedai_spark.operators import dedup as DD
 
     docs = spark.read.parquet(corpus)
     n_docs = docs.count()  # warms the scan; excluded from the timed window
 
+    stages = {}
     t0 = time.perf_counter()
-    clusters = minhash_dedup_pipeline(docs, id_col="eid", shingle_size=3,
-                                      jaccard_threshold=0.5, max_bucket=2000)
+
+    t = time.perf_counter()
+    cands = DD.lsh_candidate_pairs(docs, k=32, bands=8, shingle_size=3,
+                                   id_col="eid", max_bucket=2000)
+    cands = cands.localCheckpoint()
+    stages["lsh_candidates"] = round(time.perf_counter() - t, 1)
+
+    t = time.perf_counter()
+    verified = DD.jaccard_verify(cands, docs, 0.5, 3, "eid").localCheckpoint()
+    stages["verify"] = round(time.perf_counter() - t, 1)
+
+    t = time.perf_counter()
+    clusters = CL.connected_components(
+        verified.select("id1", "id2"), nodes=docs.select("eid"))
     n_clustered = clusters.where(
         F.col("cluster_id") != F.col("eid")).count()
+    stages["clustering"] = round(time.perf_counter() - t, 1)
+
     wall = time.perf_counter() - t0
 
     print(json.dumps({
@@ -40,6 +56,7 @@ def main() -> None:
         "docs": n_docs,
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n_docs / wall, 1),
+        "stages": stages,
         "non_singleton_members": n_clustered,
     }))
     spark.stop()
