@@ -64,12 +64,19 @@ def main() -> None:
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop refs to the query's checkpointed RDDs so the
+        # ContextCleaner reclaims block-manager memory before the next
+        # query (otherwise storage fills and later queries pay GC)
+        gc.collect()
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     flagship = timings["der_dedup_clusters"]

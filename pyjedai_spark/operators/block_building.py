@@ -168,8 +168,17 @@ def block_pairs(postings: DataFrame, salt_threshold: int | None = None) -> DataF
 
 def block_stats(postings: DataFrame) -> DataFrame:
     """Per-collection summary stats (reference AbstractBlockProcessing
-    .stats, block_building.py:148-289) as one aggregate row."""
+    .stats, block_building.py:148-289) as one aggregate row. Median /
+    stddev / entropy use engine-portable formulations (population
+    stddev; Shannon entropy of the block-size distribution computed
+    from explicit sums) so the DuckDB oracle reproduces them."""
     sizes = postings.groupBy("key").agg(F.count("*").alias("block_size"))
+    # block-size table is vocabulary-sized; the empty-partition window
+    # for the entropy normalizer is a single-task pass over it, never
+    # over the postings
+    sizes = sizes.withColumn(
+        "_tot", F.sum("block_size").over(Window.partitionBy()))
+    p = F.col("block_size") / F.col("_tot")
     return sizes.agg(
         F.count("*").alias("num_blocks"),
         F.sum("block_size").alias("total_assignments"),
@@ -179,4 +188,8 @@ def block_stats(postings: DataFrame) -> DataFrame:
         F.sum(
             (F.col("block_size") * (F.col("block_size") - 1) / 2).cast("long")
         ).alias("total_comparisons"),
+        F.round(F.expr("percentile(block_size, 0.5)"), 6)
+        .alias("median_block_size"),
+        F.round(F.stddev_pop("block_size"), 6).alias("stddev_block_size"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
     )

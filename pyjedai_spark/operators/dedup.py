@@ -141,18 +141,19 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 32, bands: int = 8,
     (boilerplate shingle sets) before the within-bucket self-join —
     the salted/size-capped mega-block guard of the north rule."""
     rows = rows or k // bands
-    sigs = minhash_signatures(docs, k, shingle_size, id_col, text_col)
+    # Materialize the signature table ONCE. Projection collapse would
+    # otherwise inline the signature fold into all `bands` band-hash
+    # expressions AND both self-join sides (lambda bodies are opaque to
+    # subexpression elimination) — a 2 x bands recompute of the whole
+    # signature pass (measured 249s -> 9s at sf0.1). At cluster scale
+    # this materialization is the per-stage signature checkpoint the
+    # pipeline writes to Iceberg anyway, and it is 8x smaller than
+    # checkpointing the exploded band table.
+    sigs = minhash_signatures(docs, k, shingle_size, id_col, text_col) \
+        .localCheckpoint()
     b = lsh_bands(sigs, bands, rows)
     b = b.select(F.concat_ws("|", F.col("band_idx"), F.col("band_hash")).alias("key"),
                  "eid")
-    # Materialize the band table ONCE before the self-join. Without this
-    # the signature expression (k hash permutations over the shingle
-    # hashes) is re-inlined into every band hash on BOTH join sides —
-    # the expression tree exceeds codegen limits and falls back to
-    # interpreted eval with no subexpression reuse (measured 249s -> 9s
-    # at sf0.1). At cluster scale this materialization is the per-stage
-    # signature checkpoint the pipeline writes to Iceberg anyway.
-    b = b.localCheckpoint()
     if max_bucket is not None:
         b = keep_multi_entity_blocks(b, 2, max_bucket)
     a1 = b.select("key", F.col("eid").alias("id1"))

@@ -177,7 +177,8 @@ def tfidf_cosine_matching(pairs: DataFrame, docs: DataFrame,
                           tokenizer: str = "word", qgram: int = 3,
                           similarity_threshold: float = 0.0,
                           id_col: str = "doc_id", text_col: str = "text",
-                          round_to: int = 6) -> DataFrame:
+                          round_to: int = 6,
+                          vectorizer: str = "tfidf") -> DataFrame:
     """EntityMatching with the tfidf vectorizer (matching.py:464-497 ->
     utils.py FrequencyEvaluator:1198-1268, sklearn TfidfVectorizer).
 
@@ -198,19 +199,27 @@ def tfidf_cosine_matching(pairs: DataFrame, docs: DataFrame,
     else:
         raise ValueError(f"unknown tfidf tokenizer {tokenizer}")
 
-    n_docs = docs.count()
     dt = (
         docs.select(F.col(id_col).alias("eid"), F.explode(toks).alias("term"))
         .groupBy("eid", "term").agg(F.count("*").cast("double").alias("tf"))
     )
-    df_ = dt.groupBy("term").agg(F.count("*").alias("df"))
-    idf = df_.select(
-        "term",
-        (F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.col("df"))) + 1.0).alias("idf"),
-    )
-    w = dt.join(idf, "term").select(
-        "eid", "term", (F.col("tf") * F.col("idf")).alias("w")
-    )
+    if vectorizer == "tfidf":
+        n_docs = docs.count()
+        df_ = dt.groupBy("term").agg(F.count("*").alias("df"))
+        idf = df_.select(
+            "term",
+            (F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.col("df")))
+             + 1.0).alias("idf"),
+        )
+        w = dt.join(idf, "term").select(
+            "eid", "term", (F.col("tf") * F.col("idf")).alias("w")
+        )
+    elif vectorizer == "tf":  # CountVectorizer + cosine
+        w = dt.select("eid", "term", F.col("tf").alias("w"))
+    elif vectorizer == "boolean":  # presence vectors (utils.py:1235-1236)
+        w = dt.select("eid", "term", F.lit(1.0).alias("w"))
+    else:
+        raise ValueError(f"unknown vectorizer {vectorizer}")
     norms = w.groupBy("eid").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     w1 = w.select(F.col("eid").alias("id1"), "term", F.col("w").alias("w1"))
     w2 = w.select(F.col("eid").alias("id2"), "term", F.col("w").alias("w2"))

@@ -637,6 +637,20 @@ def q_tfidf_cosine(spark, sf_dir):
                                    similarity_threshold=0.3, round_to=6)
 
 
+def q_tf_cosine(spark, sf_dir):
+    docs, cands = _cnp_cands(spark, sf_dir)
+    return M.tfidf_cosine_matching(cands, docs, tokenizer="word",
+                                   similarity_threshold=0.3, round_to=6,
+                                   vectorizer="tf")
+
+
+def q_boolean_cosine(spark, sf_dir):
+    docs, cands = _cnp_cands(spark, sf_dir)
+    return M.tfidf_cosine_matching(cands, docs, tokenizer="word",
+                                   similarity_threshold=0.3, round_to=6,
+                                   vectorizer="boolean")
+
+
 def q_clean_text(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TXT.clean_text(F.col("text")).alias("cleaned"))
@@ -750,6 +764,8 @@ QUERIES = {
     "em_levenshtein": q_em_levenshtein,
     "em_jaro": q_em_jaro,
     "tfidf_cosine": q_tfidf_cosine,
+    "tf_cosine": q_tf_cosine,
+    "boolean_cosine": q_boolean_cosine,
     "clean_text": q_clean_text,
     "lsh_recall_eval": q_lsh_recall_eval,
     "ejoin_dice_multiset": q_ejoin_dice_multiset,
@@ -769,14 +785,19 @@ def _build_oracles() -> dict[str, str]:
 SELECT key AS token, count(*) AS block_size FROM sb GROUP BY key"""
 
     o["sb_block_stats"] = f"""WITH {SB},
-sizes AS (SELECT key, count(*) AS block_size FROM sb GROUP BY key)
+sizes AS (SELECT key, count(*) AS block_size FROM sb GROUP BY key),
+tot AS (SELECT sum(block_size) AS t FROM sizes)
 SELECT count(*) AS num_blocks,
        sum(block_size) AS total_assignments,
        min(block_size) AS min_block_size,
        max(block_size) AS max_block_size,
        round(avg(block_size), 6) AS avg_block_size,
-       CAST(sum(block_size * (block_size - 1) / 2) AS BIGINT) AS total_comparisons
-FROM sizes"""
+       CAST(sum(block_size * (block_size - 1) / 2) AS BIGINT) AS total_comparisons,
+       round(median(block_size), 6) AS median_block_size,
+       round(stddev_pop(block_size), 6) AS stddev_block_size,
+       round(-sum((block_size * 1.0 / tot.t) * ln(block_size * 1.0 / tot.t)), 6)
+           AS entropy
+FROM sizes, tot"""
 
     o["block_purging"] = f"""WITH {SB},
 {_purging_sql('sb', 1.0, 'pp')}
@@ -1269,7 +1290,8 @@ SELECT id1, id2, sim FROM scored WHERE sim > {threshold}"""
     o["em_jaro"] = _matching_string_metric_sql(
         "jaro_similarity(a.s, b.s)", 0.5)
 
-    o["tfidf_cosine"] = f"""WITH {SB},
+    def _vectorizer_cosine_sql(w_cte: str) -> str:
+        return f"""WITH {SB},
 {_cnp_sql('sb', 'cnp', 'JS')},
 tw AS (
   SELECT doc_id AS eid,
@@ -1277,12 +1299,7 @@ tw AS (
                             x -> x <> '')) AS term
   FROM documents),
 dt AS (SELECT eid, term, CAST(count(*) AS DOUBLE) AS tf FROM tw GROUP BY 1, 2),
-idf AS (
-  SELECT term,
-         ln((1.0 + (SELECT count(*) FROM documents)) / (1.0 + count(*))) + 1.0
-             AS idf
-  FROM dt GROUP BY term),
-wv AS (SELECT eid, term, tf * idf AS w FROM dt JOIN idf USING (term)),
+{w_cte},
 nrm AS (SELECT eid, sqrt(sum(w * w)) AS nrm FROM wv GROUP BY eid),
 dots AS (
   SELECT p.id1, p.id2, sum(a.w * b.w) AS dot
@@ -1296,6 +1313,17 @@ scored AS (
   LEFT JOIN dots d ON d.id1 = p.id1 AND d.id2 = p.id2
   JOIN nrm n1 ON n1.eid = p.id1 JOIN nrm n2 ON n2.eid = p.id2)
 SELECT id1, id2, sim FROM scored WHERE sim > 0.3"""
+
+    o["tfidf_cosine"] = _vectorizer_cosine_sql("""idf AS (
+  SELECT term,
+         ln((1.0 + (SELECT count(*) FROM documents)) / (1.0 + count(*))) + 1.0
+             AS idf
+  FROM dt GROUP BY term),
+wv AS (SELECT eid, term, tf * idf AS w FROM dt JOIN idf USING (term))""")
+    o["tf_cosine"] = _vectorizer_cosine_sql(
+        "wv AS (SELECT eid, term, tf AS w FROM dt)")
+    o["boolean_cosine"] = _vectorizer_cosine_sql(
+        "wv AS (SELECT eid, term, 1.0 AS w FROM dt)")
 
     stop_arr = "[" + ", ".join(
         "'" + w.replace("'", "''") + "'" for w in TXT.NLTK_EN_STOPWORDS) + "]"

@@ -10,7 +10,8 @@ from conftest import SF_DIR, assert_df_matches_oracle
 FLOAT_COLS = {"weight", "sim", "jaccard", "cosine", "lang_score",
               "avg_token_len", "stopword_ratio", "unique_ratio",
               "alpha_ratio", "quality_score", "avg_block_size",
-              "prec", "recall", "f1"}
+              "prec", "recall", "f1",
+              "median_block_size", "stddev_block_size", "entropy"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
