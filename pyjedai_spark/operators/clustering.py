@@ -230,6 +230,77 @@ def best_match_clustering(edges: DataFrame, similarity_threshold: float = 0.5,
     return spark.createDataFrame(out, "id1 long, id2 long, weight double")
 
 
+def markov_clustering(edges: DataFrame, similarity_threshold: float = 0.5,
+                      cluster_threshold: float = 0.001,
+                      matrix_similarity_threshold: float = 1e-5,
+                      similarity_checks_limit: int = 10,
+                      weight_col: str = "sim",
+                      prune_below: float | None = None) -> DataFrame:
+    """MarkovClustering (reference clustering.py:1055-1171) as iterated
+    sparse matrix algebra on an (i, j, v) DataFrame — matrix product =
+    join on the inner index + groupBy(i, j) sum; inflation = elementwise
+    power; normalization = column-sum join. (The reference's method
+    names are swapped: its inflate() is the matrix product and its
+    expand() the elementwise square — semantics reproduced, not names.)
+
+    Per round: product, normalize, square, normalize, equilibrium check
+    on shared indices (|Δ| <= matrix_similarity_threshold), with
+    localCheckpoint truncating lineage. ``prune_below`` optionally drops
+    near-zero entries each round — the standard MCL sparsity guard for
+    scale (reference keeps exact zeros only; default None is faithful).
+    Returns (eid, cluster_id) from components of entries >
+    cluster_threshold.
+    """
+    sym = edges.where(F.col(weight_col) > similarity_threshold).select(
+        F.col("id1").alias("i"), F.col("id2").alias("j"),
+        F.col(weight_col).cast("double").alias("v"))
+    m = sym.union(sym.select(F.col("j").alias("i"), F.col("i").alias("j"), "v"))
+    nodes = m.select(F.col("i").alias("n")).distinct()
+    loops = nodes.select(F.col("n").alias("i"), F.col("n").alias("j"),
+                         F.lit(1.0).alias("v"))
+    # self loop assignment overwrites any (i,i) entry
+    m = m.where(F.col("i") != F.col("j")).union(loops)
+
+    def normalize(mm: DataFrame) -> DataFrame:
+        csum = mm.groupBy("j").agg(F.sum("v").alias("_s"))
+        return mm.join(csum, "j").select(
+            "i", "j",
+            F.when(F.col("_s") != 0, F.col("v") / F.col("_s"))
+            .otherwise(F.col("v")).alias("v"))
+
+    def product(mm: DataFrame) -> DataFrame:
+        a = mm.select(F.col("i"), F.col("j").alias("k"), F.col("v").alias("va"))
+        b = mm.select(F.col("i").alias("k"), F.col("j"), F.col("v").alias("vb"))
+        return a.join(b, "k").groupBy("i", "j").agg(
+            F.sum(F.col("va") * F.col("vb")).alias("v"))
+
+    m = normalize(m).localCheckpoint()
+    for _ in range(similarity_checks_limit):
+        prev = m
+        m = normalize(product(m))
+        m = normalize(m.select("i", "j", (F.col("v") * F.col("v")).alias("v")))
+        if prune_below is not None:
+            m = m.where(F.col("v") >= prune_below)
+        m = m.localCheckpoint()
+        drift = (
+            m.join(prev.select(F.col("i"), F.col("j"),
+                               F.col("v").alias("_pv")), ["i", "j"])
+            .agg(F.max(F.abs(F.col("v") - F.col("_pv"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        if drift is not None and drift <= matrix_similarity_threshold:
+            break
+
+    final = (
+        m.where(F.col("i") != F.col("j"))
+        .select(F.least("i", "j").alias("id1"), F.greatest("i", "j").alias("id2"),
+                F.col("v"))
+        .groupBy("id1", "id2").agg(F.max("v").alias("v"))
+        .where(F.col("v") > cluster_threshold)
+    )
+    return connected_components(final.select("id1", "id2"), nodes=nodes)
+
+
 def clusters_to_pairs(assign: DataFrame) -> DataFrame:
     """(eid, cluster_id) -> intra-cluster pairs (id1<id2) — the
     export_to_pairs sink (clustering.py:381-417) as a self-join."""

@@ -485,6 +485,78 @@ def q_webtext_minhash_clusters(spark, sf_dir):
                                   jaccard_threshold=0.5)
 
 
+def _ccer_inputs(spark, sf_dir):
+    """Two clean datasets from one corpus: even/odd doc_id split
+    (deterministic, SQL-expressible; ids disjoint by construction)."""
+    docs = _docs(spark, sf_dir)
+    return docs.where(F.col("doc_id") % 2 == 0), \
+        docs.where(F.col("doc_id") % 2 == 1)
+
+
+def q_ccer_blocks(spark, sf_dir):
+    from .operators import ccer as X
+
+    d1, d2 = _ccer_inputs(spark, sf_dir)
+    p = X.ccer_blocking(d1, d2)
+    return p.groupBy("key").agg(
+        F.sum((F.col("side") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("side") == 2).cast("long")).alias("n2"))
+
+
+def q_ccer_pairs_cp(spark, sf_dir):
+    from .operators import ccer as X
+
+    d1, d2 = _ccer_inputs(spark, sf_dir)
+    return X.ccer_pairs(X.ccer_blocking(d1, d2))
+
+
+def q_ccer_wep_js(spark, sf_dir):
+    from .operators import ccer as X
+
+    d1, d2 = _ccer_inputs(spark, sf_dir)
+    e = X.ccer_wep(X.ccer_blocking(d1, d2), "JS")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def _ccer_matches(spark, sf_dir):
+    from .operators import ccer as X
+
+    d1, d2 = _ccer_inputs(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    cands = X.ccer_wep(X.ccer_blocking(d1, d2), "JS").select("id1", "id2")
+    cands = cands.localCheckpoint()
+    return M.entity_matching(cands, docs, metric="cosine",
+                             similarity_threshold=0.55, round_to=6)
+
+
+def q_ccer_em_cosine(spark, sf_dir):
+    return _ccer_matches(spark, sf_dir)
+
+
+def q_ccer_ccc(spark, sf_dir):
+    from .operators import ccer as X
+
+    m = _ccer_matches(spark, sf_dir)
+    return X.ccc_size2(m.select("id1", "id2")).select(
+        F.col("eid").alias("doc_id"), "cluster_id")
+
+
+def q_markov_clustering(spark, sf_dir):
+    """MCL over the der-chain match graph (rows-only: iterated float
+    matrix algebra is not stably SQL-expressible across engines)."""
+    docs, cands = _cnp_cands(spark, sf_dir)
+    m = M.entity_matching(cands, docs, metric="cosine",
+                          similarity_threshold=0.55, round_to=6)
+    out = CL.markov_clustering(m.localCheckpoint(), similarity_threshold=0.55)
+    return out.select(F.col("eid").alias("doc_id"), "cluster_id")
+
+
+def q_ccer_unique_mapping(spark, sf_dir):
+    m = _ccer_matches(spark, sf_dir)
+    return CL.unique_mapping_clustering(m, similarity_threshold=0.55,
+                                        weight_col="sim")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal: binary payload -> 64-dim content feature (Arrow
     pandas UDF; deterministic synthetic media, no external data)."""
@@ -775,6 +847,13 @@ QUERIES = {
     "best_match_clustering": q_best_match_clustering,
     "media_features": q_media_features,
     "video_frame_sample": q_video_frame_sample,
+    "ccer_blocks": q_ccer_blocks,
+    "ccer_pairs_cp": q_ccer_pairs_cp,
+    "ccer_wep_js": q_ccer_wep_js,
+    "ccer_em_cosine": q_ccer_em_cosine,
+    "ccer_ccc": q_ccer_ccc,
+    "ccer_unique_mapping": q_ccer_unique_mapping,
+    "markov_clustering": q_markov_clustering,
 }
 
 
@@ -1406,6 +1485,82 @@ SELECT id1, id2, sim FROM (
          round(j.c * 1.0 / (f1.f + f2.f - j.c), 6) AS sim
   FROM jc j JOIN fz f1 ON f1.eid = j.id1 JOIN fz f2 ON f2.eid = j.id2)
 WHERE sim >= 0.95"""
+
+    # ---------------- Clean-Clean ER (even/odd doc_id split)
+
+    _CTOK = """ctok AS (
+  SELECT doc_id AS eid, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS side,
+         unnest(list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '[\\W_]'), x -> x <> ''))) AS key
+  FROM documents),
+cblk AS (
+  SELECT key, eid, side FROM (
+    SELECT key, eid, side,
+           sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY key) AS n1,
+           sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY key) AS n2
+    FROM ctok)
+  WHERE n1 >= 1 AND n2 >= 1)"""
+
+    o["ccer_blocks"] = f"""WITH {_CTOK}
+SELECT key,
+       sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n1,
+       sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS n2
+FROM cblk GROUP BY key"""
+
+    o["ccer_pairs_cp"] = f"""WITH {_CTOK}
+SELECT DISTINCT a.eid AS id1, b.eid AS id2
+FROM cblk a JOIN cblk b ON a.key = b.key AND a.side = 1 AND b.side = 2"""
+
+    _CWEP = f"""{_CTOK},
+cnb AS (SELECT eid, count(*) AS nb FROM cblk GROUP BY eid),
+ce_raw AS (
+  SELECT a.eid AS id1, b.eid AS id2, count(*) AS cbs
+  FROM cblk a JOIN cblk b ON a.key = b.key AND a.side = 1 AND b.side = 2
+  GROUP BY 1, 2),
+ce AS (
+  SELECT r.id1, r.id2,
+         CAST(r.cbs AS DOUBLE) / (n1.nb + n2.nb - r.cbs) AS w
+  FROM ce_raw r JOIN cnb n1 ON n1.eid = r.id1 JOIN cnb n2 ON n2.eid = r.id2),
+cwep AS (
+  SELECT id1, id2, w FROM ce
+  WHERE w >= (SELECT avg(w) FROM ce) - {EPS})"""
+
+    o["ccer_wep_js"] = f"""WITH {_CWEP}
+SELECT id1, id2, round(w, 6) AS weight FROM cwep"""
+
+    _CMATCH = f"""{_CWEP},
+cm_wt AS (
+  SELECT doc_id AS eid,
+         list_sort(list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS t
+  FROM documents),
+cmt AS (
+  SELECT id1, id2, sim FROM (
+    SELECT p.id1, p.id2,
+           round(CASE WHEN a.t = b.t THEN 1.0
+                 WHEN len(a.t) = 0 OR len(b.t) = 0 THEN 0.0
+                 ELSE len(list_intersect(a.t, b.t))
+                      / (sqrt(CAST(len(a.t) AS DOUBLE)) * sqrt(CAST(len(b.t) AS DOUBLE)))
+                 END, 6) AS sim
+    FROM cwep p JOIN cm_wt a ON a.eid = p.id1 JOIN cm_wt b ON b.eid = p.id2)
+  WHERE sim > 0.55)"""
+
+    o["ccer_em_cosine"] = f"""WITH {_CMATCH}
+SELECT id1, id2, sim FROM cmt"""
+
+    o["ccer_ccc"] = f"""WITH RECURSIVE {_CMATCH},
+cbidir AS (
+  SELECT id1 AS u, id2 AS v FROM cmt UNION SELECT id2, id1 FROM cmt),
+creach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM cbidir)
+  UNION
+  SELECT r.u, b.v FROM creach r JOIN cbidir b ON r.v = b.u),
+cassign AS (SELECT u AS doc_id, min(v) AS cluster_id FROM creach GROUP BY u),
+csizes AS (SELECT cluster_id, count(*) AS n FROM cassign GROUP BY cluster_id)
+SELECT a.doc_id, a.cluster_id
+FROM cassign a JOIN csizes s ON s.cluster_id = a.cluster_id AND s.n = 2"""
 
     return o
 

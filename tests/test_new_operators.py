@@ -122,6 +122,51 @@ def test_ext_qgram_udf_fallback_agrees(spark, docs):
         sorted((r["key"], r["eid"]) for r in b.collect())
 
 
+def test_markov_clustering_cuts_weak_bridge(spark):
+    """MCL separates two dense triangles joined by a weak bridge — the
+    behavior plain connected components cannot deliver (reference
+    clustering.py:1055-1171)."""
+    from pyjedai_spark.operators import clustering as CL
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (1, 3, 0.9),
+         (4, 5, 0.9), (5, 6, 0.9), (4, 6, 0.9), (3, 4, 0.56)],
+        "id1 long, id2 long, sim double")
+    out = CL.markov_clustering(edges, similarity_threshold=0.5)
+    clusters = {}
+    for r in out.collect():
+        clusters.setdefault(r["cluster_id"], set()).add(r["eid"])
+    assert sorted(sorted(v) for v in clusters.values()) == \
+        [[1, 2, 3], [4, 5, 6]]
+    cc = CL.connected_components(edges.select("id1", "id2"))
+    assert cc.select("cluster_id").distinct().count() == 1
+
+
+def test_ccer_pair_space_is_cross_dataset_only(spark, docs):
+    from pyjedai_spark.operators import ccer as X
+
+    d1 = docs.where("doc_id % 2 = 0")
+    d2 = docs.where("doc_id % 2 = 1")
+    pairs = X.ccer_pairs(X.ccer_blocking(d1, d2)).collect()
+    assert pairs
+    for r in pairs:
+        assert r["id1"] % 2 == 0 and r["id2"] % 2 == 1
+
+
+def test_ccer_ccc_keeps_only_size2(spark, docs):
+    from pyjedai_spark.operators import ccer as X
+
+    edges = spark.createDataFrame(
+        [(0, 1, 0.9), (2, 3, 0.9), (3, 4, 0.9)],
+        "id1 long, id2 long, sim double")
+    out = X.ccc_size2(edges.select("id1", "id2"))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["cluster_id"], set()).add(r["eid"])
+    # the 3-chain {2,3,4} is dropped; only the clean 1-1 match remains
+    assert sorted(sorted(v) for v in got.values()) == [[0, 1]]
+
+
 def _py_clean_text(s):
     s = s.lower()
     s = re.sub(r"\d+", "", s)
