@@ -541,6 +541,34 @@ def q_ccer_ccc(spark, sf_dir):
         F.col("eid").alias("doc_id"), "cluster_id")
 
 
+def q_embeddings_nn_bpm(spark, sf_dir):
+    """EmbeddingsNNBPM (prioritization.py:622-841): ANN top-k
+    neighborhoods -> budgeted HB emission. ANN = brute-force cosine over
+    the probe set (the FAISS IndexFlat equivalent); emission orders per
+    DatasetScheduler."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nn = V.brute_force_topk(emb, k=10, probe_ids=list(range(20)))
+    edges = nn.select(F.col("query_id").alias("id1"),
+                      F.col("neighbor_id").alias("id2"),
+                      F.col("cosine").alias("weight"))
+    return PR.emit(edges, budget=100, method="HB").select(
+        "id1", "id2", F.round("weight", 6).alias("weight"),
+        F.col("emit_rank").cast("long").alias("emit_rank"))
+
+
+def q_topk_join_pm(spark, sf_dir):
+    """TopKJoinPM (prioritization.py:1149-1349): PETopKJoin
+    neighborhoods emitted progressively (TOP order)."""
+    nn = J.pe_topk_join(_docs(spark, sf_dir), k=5, metric="cosine",
+                        tokenization="standard", round_to=6)
+    edges = nn.select(F.col("eid").alias("id1"),
+                      F.col("neighbor").alias("id2"),
+                      F.col("sim").alias("weight"))
+    return PR.emit(edges, budget=200, method="TOP").select(
+        "id1", "id2", F.round("weight", 6).alias("weight"),
+        F.col("emit_rank").cast("long").alias("emit_rank"))
+
+
 def q_markov_clustering(spark, sf_dir):
     """MCL over the der-chain match graph (rows-only: iterated float
     matrix algebra is not stably SQL-expressible across engines)."""
@@ -854,6 +882,8 @@ QUERIES = {
     "ccer_ccc": q_ccer_ccc,
     "ccer_unique_mapping": q_ccer_unique_mapping,
     "markov_clustering": q_markov_clustering,
+    "embeddings_nn_bpm": q_embeddings_nn_bpm,
+    "topk_join_pm": q_topk_join_pm,
 }
 
 
@@ -1485,6 +1515,40 @@ SELECT id1, id2, sim FROM (
          round(j.c * 1.0 / (f1.f + f2.f - j.c), 6) AS sim
   FROM jc j JOIN fz f1 ON f1.eid = j.id1 JOIN fz f2 ON f2.eid = j.id2)
 WHERE sim >= 0.95"""
+
+    o["embeddings_nn_bpm"] = f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round({_cos}, 6) AS w,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_cos}, 6) DESC, b.vec_id) AS rank
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20
+  QUALIFY rank <= 10),
+nb AS (SELECT id1, avg(w) AS a FROM nn GROUP BY id1),
+nbr AS (SELECT id1, row_number() OVER (ORDER BY a DESC, id1) AS nb_rank FROM nb),
+wr AS (
+  SELECT e.id1, e.id2, e.w, nbr.nb_rank,
+         row_number() OVER (PARTITION BY e.id1
+                            ORDER BY e.w DESC, e.id2) AS within_rank
+  FROM nn e JOIN nbr ON nbr.id1 = e.id1)
+SELECT id1, id2, round(w, 6) AS weight,
+       row_number() OVER (ORDER BY (within_rank > 1), nb_rank, within_rank)
+           AS emit_rank
+FROM wr QUALIFY emit_rank <= 100"""
+
+    o["topk_join_pm"] = f"""WITH {_jointoks},
+s AS (
+  SELECT id2 AS id1, id1 AS id2,
+         round(c / (sqrt(CAST(f1 AS DOUBLE) * f2)), 6) AS w
+  FROM jc
+  QUALIFY row_number() OVER (PARTITION BY id2
+                             ORDER BY round(c / (sqrt(CAST(f1 AS DOUBLE) * f2)), 6)
+                                 DESC, id1) <= 5)
+SELECT id1, id2, w AS weight,
+       row_number() OVER (ORDER BY w DESC, id1, id2) AS emit_rank
+FROM s QUALIFY emit_rank <= 200"""
 
     # ---------------- Clean-Clean ER (even/odd doc_id split)
 
