@@ -230,6 +230,388 @@ def best_match_clustering(edges: DataFrame, similarity_threshold: float = 0.5,
     return spark.createDataFrame(out, "id1 long, id2 long, weight double")
 
 
+def cut_clustering(edges: DataFrame, similarity_threshold: float = 0.5,
+                   alpha: float = 0.2, weight_col: str = "sim",
+                   sink_id: int | None = None) -> DataFrame:
+    """CutClustering (clustering.py:1007-1053): Gomory-Hu tree of the
+    threshold-trimmed graph plus an artificial sink connected to every
+    node with capacity alpha; components after removing the sink.
+
+    Min-cut trees have no data-parallel formulation — driver-side
+    networkx on the post-pruning match graph (size-guarded), the same
+    single-process strategy the reference uses."""
+    import networkx as nx
+
+    rows = _collect_edges(edges, weight_col)
+    g = nx.Graph()
+    all_nodes = set()
+    for id1, id2, w in rows:
+        a, b = (id1, id2) if id1 < id2 else (id2, id1)
+        all_nodes.update((a, b))
+        if w > similarity_threshold:
+            g.add_edge(a, b, weight=float(w))
+    sink = sink_id if sink_id is not None else (max(all_nodes) + 1 if all_nodes
+                                                else 0)
+    g.add_node(sink)
+    for n in all_nodes:
+        g.add_edge(sink, n, weight=alpha)
+    tree = nx.gomory_hu_tree(g, capacity="weight")
+    tree.remove_node(sink)
+    out = []
+    for cid, comp in enumerate(nx.connected_components(tree)):
+        rep = min(comp)
+        out.extend((int(n), int(rep)) for n in comp)
+    return edges.sparkSession.createDataFrame(
+        out or [(None, None)], "eid long, cluster_id long"
+    ).where(F.col("eid").isNotNull())
+
+
+def correlation_clustering(edges: DataFrame, initial_threshold: float = 0.5,
+                           similarity_threshold: float = 0.8,
+                           non_similarity_threshold: float = 0.2,
+                           move_limit: int = 3, lsi_iterations: int = 100,
+                           weight_col: str = "sim",
+                           random_seed: int = 42,
+                           max_nodes: int = 4000) -> DataFrame:
+    """CorrelationClustering (clustering.py:793-1005): initial clusters
+    = components of edges >= initial_threshold; then ``lsi_iterations``
+    seeded random moves (reassign entity / merge clusters / split
+    cluster), each kept only if the objective — #(similar pairs
+    co-clustered) + #(dissimilar pairs separated) — strictly improves.
+
+    Randomized sequential local search (reference seeds RANDOM_SEED=42,
+    clustering.py:19): driver-side with a vectorized numpy objective;
+    ``max_nodes`` guards the dense pair space. Same move semantics;
+    the RNG draw sequence is implementation-defined, so cluster ids are
+    deterministic per THIS engine, not bit-equal to the reference."""
+    import random as _random
+
+    import networkx as nx
+    import numpy as np
+
+    rows = _collect_edges(edges, weight_col)
+    nodes = sorted({x for r in rows for x in (r[0], r[1])})
+    if len(nodes) > max_nodes:
+        raise ValueError(
+            f"correlation clustering input too large ({len(nodes)} nodes); "
+            "tighten pruning or raise max_nodes")
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    sim = np.zeros((n, n))
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    for id1, id2, w in rows:
+        a, b = idx[id1], idx[id2]
+        sim[a, b] = sim[b, a] = w
+        if w >= initial_threshold:
+            g.add_edge(a, b)
+    similar = np.triu(sim > similarity_threshold)
+    not_similar = np.triu(sim < non_similarity_threshold)
+
+    comps = [sorted(c) for c in nx.connected_components(g)]
+    cluster_of = np.zeros(n, dtype=int)
+    members: list[set] = []
+    for ci, comp in enumerate(comps):
+        members.append(set(comp))
+        for e in comp:
+            cluster_of[e] = ci
+
+    def objective(assign: np.ndarray) -> int:
+        same = assign[:, None] == assign[None, :]
+        return int((similar & same).sum() + (not_similar & ~same).sum())
+
+    rng = _random.Random(random_seed)
+    best = objective(cluster_of)
+    n_initial = len(members)
+    for _ in range(lsi_iterations):
+        move = rng.randint(0, move_limit - 1)
+        while move == 1 and len(members) == 1:
+            move = rng.randint(0, move_limit - 1)
+        trial = cluster_of.copy()
+        if move == 0:  # reassign a random entity to a random live cluster
+            ent = rng.randrange(n)
+            live = [i for i, m in enumerate(members) if m]
+            dst = rng.choice(live)
+            trial[ent] = dst
+        elif move == 1:  # merge two random live clusters
+            live = [i for i, m in enumerate(members) if m]
+            if len(live) < 2:
+                continue
+            src, dst = rng.sample(live, 2)
+            trial[list(members[src])] = dst
+        else:  # split: every 2nd member of a random cluster moves out
+            live = [i for i, m in enumerate(members) if len(m) > 1]
+            if not live:
+                continue
+            src = rng.choice(live)
+            moved = sorted(members[src])[::2]
+            trial[moved] = len(members)
+        cand = objective(trial)
+        if cand > best:
+            best = cand
+            # rebuild membership from the accepted assignment
+            if trial.max() >= len(members):
+                members.append(set())
+            new_members: list[set] = [set() for _ in range(len(members))]
+            for e in range(n):
+                new_members[trial[e]].add(e)
+            members = new_members
+            cluster_of = trial
+    out = [(int(nodes[e]), int(nodes[min(members[cluster_of[e]])]))
+           for e in range(n)]
+    del n_initial
+    return edges.sparkSession.createDataFrame(
+        out or [(None, None)], "eid long, cluster_id long"
+    ).where(F.col("eid").isNotNull())
+
+
+def kiraly_msm_clustering(edges: DataFrame, side1,
+                          similarity_threshold: float = 0.1,
+                          weight_col: str = "sim") -> DataFrame:
+    """KiralyMSMApproximateClustering (clustering.py:1173-1341): Kiraly's
+    3/2-approx stable marriage over the CCER bipartite match graph —
+    men (side 1) propose down their preference lists; a woman trades up
+    only for a strictly better score; rejected bachelors re-enter once
+    with all candidates re-activated. CCER-only, like the reference.
+
+    ``side1`` = set/list of side-1 ids (the reference infers it from
+    dataset_limit; our CCER ids are disjoint, not offset). Returns
+    matched pairs (id1, id2, weight=similarity)."""
+    spark = edges.sparkSession
+    side1 = set(side1)
+    rows = _collect_edges(edges.where(F.col(weight_col) > similarity_threshold),
+                          weight_col)
+    men_cand: dict = {}
+    women_pref: dict = {}
+    men = set()
+    for id1, id2, w in rows:
+        man, woman = (id1, id2) if id1 in side1 else (id2, id1)
+        men.add(man)
+        men_cand.setdefault(man, []).append([woman, float(w), True])
+        women_pref.setdefault(woman, {})[man] = float(w)
+    for man in men_cand:
+        men_cand[man].sort(key=lambda c: (-c[1], c[0]))
+
+    fiance: dict = {}
+    bachelor: set = set()
+    free = sorted(men)
+    while free:
+        man = free.pop(0)
+        cands = men_cand.get(man, [])
+        woman = next((c[0] for c in cands if c[2]), None)
+        if woman is None:
+            if man not in bachelor:
+                bachelor.add(man)
+                for c in cands:
+                    c[2] = True
+                if not cands:
+                    continue
+                free.append(man)
+            continue
+        cur = fiance.get(woman)
+        if cur is None:
+            fiance[woman] = man
+        elif women_pref[woman].get(man, 0.0) > women_pref[woman].get(cur, 0.0):
+            fiance[woman] = man
+            for c in men_cand.get(cur, []):
+                if c[0] == woman:
+                    c[2] = False
+            free.append(cur)
+        else:
+            for c in cands:
+                if c[0] == woman:
+                    c[2] = False
+            free.append(man)
+    out = [(int(m), int(w_), float(women_pref[w_][m]))
+           for w_, m in fiance.items()]
+    return spark.createDataFrame(out or [(None, None, None)],
+                                 "id1 long, id2 long, weight double"
+                                 ).where(F.col("id1").isNotNull())
+
+
+def row_column_clustering(edges: DataFrame, side1,
+                          similarity_threshold: float = 0.5,
+                          weight_col: str = "sim") -> DataFrame:
+    """RowColumnClustering (clustering.py:1493-1634): greedy min-cost
+    scan assignment on the NEGATED similarity matrix — per row pick the
+    cheapest uncovered column and vice versa; keep whichever full
+    assignment (rows-scan or columns-scan) costs less, then emit
+    1-1 matches. Reference quirk replicated: the final threshold test
+    runs against the NEGATED matrix (1-sim < t, clustering.py:1546),
+    i.e. keeps pairs with sim > 1 - threshold."""
+    spark = edges.sparkSession
+    side1 = set(side1)
+    rows = _collect_edges(edges, weight_col)
+    import math as _math
+
+    d1 = sorted({r[0] if r[0] in side1 else r[1] for r in rows})
+    d2 = sorted({r[1] if r[0] in side1 else r[0] for r in rows})
+    i1 = {n: i for i, n in enumerate(d1)}
+    i2 = {n: i for i, n in enumerate(d2)}
+    import numpy as np
+
+    simm = np.zeros((len(d1), len(d2)))
+    for a, b, w in rows:
+        man, woman = (a, b) if a in side1 else (b, a)
+        if w > similarity_threshold:
+            simm[i1[man], i2[woman]] = w
+    neg = 1.0 - simm
+
+    sel_col = [-1] * len(d1)
+    col_cov = [False] * len(d2)
+    row_cost = 0.0
+    for r in range(len(d1)):
+        best, pos = _math.inf, -1
+        for c in range(len(d2)):
+            if not col_cov[c] and neg[r, c] < best:
+                best, pos = neg[r, c], c
+        sel_col[r] = pos
+        if pos == -1:
+            break
+        col_cov[pos] = True
+        row_cost += neg[r, pos]
+
+    cols_from_row = [0] * len(d1)
+    row_cov = [False] * len(d1)
+    col_cost = 0.0
+    for c in range(len(d2)):
+        best, pos = _math.inf, -1
+        for r in range(len(d1)):
+            if not row_cov[r] and neg[r, c] < best:
+                best, pos = neg[r, c], r
+        if pos == -1:
+            break
+        cols_from_row[pos] = c
+        row_cov[pos] = True
+        col_cost += neg[pos, c]
+
+    proxy = sel_col if row_cost < col_cost else cols_from_row
+    matched: set = set()
+    out = []
+    for r, c in enumerate(proxy):
+        if c is None or c < 0:
+            continue
+        if neg[r, c] >= similarity_threshold:  # reference's negated test
+            continue
+        a, b = d1[r], d2[c]
+        if a in matched or b in matched:
+            continue
+        matched.update((a, b))
+        out.append((int(a), int(b), float(simm[r, c])))
+    return spark.createDataFrame(out or [(None, None, None)],
+                                 "id1 long, id2 long, weight double"
+                                 ).where(F.col("id1").isNotNull())
+
+
+def ricochet_sr_clustering(edges: DataFrame,
+                           similarity_threshold: float = 0.5,
+                           weight_col: str = "sim") -> DataFrame:
+    """RicochetSRClustering (clustering.py:1343-1490): vertices visited
+    by descending average edge weight (Vertex PQ, clustering.py:163-253);
+    a visited vertex becomes a center if some non-center neighbor is
+    closer to it than to its current center; displaced singleton
+    centers are re-homed to their most similar singleton-center.
+
+    Determinism delta (documented): the reference scans neighbors in
+    dict-insertion order with an early break; here neighbors are scanned
+    in (weight desc, id asc) order, so runs reproduce. Driver-side on
+    the pruned match graph, like every greedy clusterer here. Returns
+    (eid, cluster_id) with cluster_id = min member id.
+    """
+    spark = edges.sparkSession
+    rows = _collect_edges(edges.where(F.col(weight_col) > similarity_threshold),
+                          weight_col)
+    nbrs: dict = {}
+    for id1, id2, w in rows:
+        a, b = (id1, id2) if id1 < id2 else (id2, id1)
+        nbrs.setdefault(a, {})[b] = float(w)
+        nbrs.setdefault(b, {})[a] = float(w)
+    if not nbrs:
+        return spark.createDataFrame([], "eid long, cluster_id long")
+    order = sorted(
+        nbrs,
+        key=lambda v: (-(sum(nbrs[v].values()) / len(nbrs[v])), v))
+
+    centers: set = set()
+    members: set = set()
+    center_of: dict = {}
+    sim_with_center: dict = {}
+    clusters: dict = {}
+
+    def nb_sorted(v):
+        return sorted(nbrs[v].items(), key=lambda kv: (-kv[1], kv[0]))
+
+    top = order[0]
+    centers.add(top)
+    center_of[top] = top
+    clusters[top] = {top}
+    sim_with_center[top] = 1.0
+    first_nb = nb_sorted(top)[0][0]
+    members.add(first_nb)
+    center_of[first_nb] = top
+    clusters[top].add(first_nb)
+    sim_with_center[first_nb] = nbrs[top][first_nb]
+
+    for v in order[1:]:
+        to_reassign: set = set()
+        centers_to_reassign: set = set()
+        for nb, w in nb_sorted(v):
+            if nb in centers:
+                continue
+            if sim_with_center.get(nb, 0.0) >= w:
+                continue
+            to_reassign.add(nb)
+            break
+        if to_reassign:
+            if v in members:
+                members.remove(v)
+                prev = center_of[v]
+                clusters[prev].discard(v)
+                if len(clusters[prev]) < 2:
+                    centers_to_reassign.add(prev)
+            to_reassign.add(v)
+            clusters.setdefault(v, set()).update(to_reassign)
+            centers.add(v)
+        for r in to_reassign:
+            if r != v:
+                if r in members:
+                    prev = center_of[r]
+                    clusters[prev].discard(r)
+                    if len(clusters[prev]) < 2:
+                        centers_to_reassign.add(prev)
+                members.add(r)
+                center_of[r] = v
+                sim_with_center[r] = nbrs[v].get(r, 0.0)
+        for c in centers_to_reassign:
+            if len(clusters.get(c, ())) > 1:
+                continue
+            centers.discard(c)
+            clusters.pop(c, None)
+            best_w, new_c = 0.0, v
+            for cand in sorted(centers):
+                w = nbrs[cand].get(c, 0.0)
+                if w > 0.0 and len(clusters.get(cand, ())) <= 1 and w > best_w:
+                    best_w, new_c = w, cand
+            if len(clusters.get(new_c, ())) > 1:
+                continue
+            clusters.setdefault(new_c, set()).add(c)
+            members.add(c)
+            center_of[c] = new_c
+            sim_with_center[c] = best_w
+    # final sweep (clustering.py:1469-1474): anything displaced out of
+    # every cluster becomes its own singleton center
+    for e in nbrs:
+        if e not in members and e not in centers:
+            centers.add(e)
+            clusters.setdefault(e, set()).add(e)
+    out = []
+    for c, ms in clusters.items():
+        group = ms | {c}
+        rep = min(group)
+        out.extend((int(e), int(rep)) for e in group)
+    return spark.createDataFrame(sorted(set(out)), "eid long, cluster_id long")
+
+
 def markov_clustering(edges: DataFrame, similarity_threshold: float = 0.5,
                       cluster_threshold: float = 0.001,
                       matrix_similarity_threshold: float = 1e-5,

@@ -569,6 +569,47 @@ def q_topk_join_pm(spark, sf_dir):
         F.col("emit_rank").cast("long").alias("emit_rank"))
 
 
+def _dirty_matches(spark, sf_dir):
+    docs, cands = _cnp_cands(spark, sf_dir)
+    return M.entity_matching(cands, docs, metric="cosine",
+                             similarity_threshold=0.55,
+                             round_to=6).localCheckpoint()
+
+
+def q_cut_clustering(spark, sf_dir):
+    m = _dirty_matches(spark, sf_dir)
+    return CL.cut_clustering(m, similarity_threshold=0.55).select(
+        F.col("eid").alias("doc_id"), "cluster_id")
+
+
+def q_correlation_clustering(spark, sf_dir):
+    m = _dirty_matches(spark, sf_dir)
+    return CL.correlation_clustering(m).select(
+        F.col("eid").alias("doc_id"), "cluster_id")
+
+
+def q_ricochet_clustering(spark, sf_dir):
+    m = _dirty_matches(spark, sf_dir)
+    return CL.ricochet_sr_clustering(m, similarity_threshold=0.55).select(
+        F.col("eid").alias("doc_id"), "cluster_id")
+
+
+def q_kiraly_clustering(spark, sf_dir):
+    m = _ccer_matches(spark, sf_dir)
+    side1 = [r["doc_id"] for r in
+             _docs(spark, sf_dir).where("doc_id % 2 = 0")
+             .select("doc_id").collect()]
+    return CL.kiraly_msm_clustering(m, side1, similarity_threshold=0.55)
+
+
+def q_row_column_clustering(spark, sf_dir):
+    m = _ccer_matches(spark, sf_dir)
+    side1 = [r["doc_id"] for r in
+             _docs(spark, sf_dir).where("doc_id % 2 = 0")
+             .select("doc_id").collect()]
+    return CL.row_column_clustering(m, side1, similarity_threshold=0.55)
+
+
 def q_markov_clustering(spark, sf_dir):
     """MCL over the der-chain match graph (rows-only: iterated float
     matrix algebra is not stably SQL-expressible across engines)."""
@@ -884,6 +925,11 @@ QUERIES = {
     "markov_clustering": q_markov_clustering,
     "embeddings_nn_bpm": q_embeddings_nn_bpm,
     "topk_join_pm": q_topk_join_pm,
+    "cut_clustering": q_cut_clustering,
+    "correlation_clustering": q_correlation_clustering,
+    "ricochet_clustering": q_ricochet_clustering,
+    "kiraly_clustering": q_kiraly_clustering,
+    "row_column_clustering": q_row_column_clustering,
 }
 
 
