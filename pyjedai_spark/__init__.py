@@ -22,4 +22,6 @@ in the hot path is Arrow-vectorized pandas UDFs.
 
 __version__ = "0.1.0"
 
+from .pipeline import der_dedup_pipeline, minhash_dedup_pipeline  # noqa: F401
 from .session import get_spark  # noqa: F401
+from .workflow import BlockingBasedWorkFlow, ProgressiveWorkFlow  # noqa: F401

@@ -299,6 +299,24 @@ def q_wep_js(spark, sf_dir):
     return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
 
 
+def q_wep_ecbs(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    e = CC.weighted_edge_pruning(p, "ECBS")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_wep_x2(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    e = CC.weighted_edge_pruning(p, "X2")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_wep_ejs(spark, sf_dir):
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    e = CC.weighted_edge_pruning(p, "EJS")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
 def q_wnp_cbs(spark, sf_dir):
     p = BB.standard_blocking(_docs(spark, sf_dir))
     e = CC.weighted_node_pruning(p, "CBS")
@@ -858,6 +876,9 @@ QUERIES = {
     "comparison_propagation": q_comparison_propagation,
     "wep_cbs": q_wep_cbs,
     "wep_js": q_wep_js,
+    "wep_ecbs": q_wep_ecbs,
+    "wep_x2": q_wep_x2,
+    "wep_ejs": q_wep_ejs,
     "wnp_cbs": q_wnp_cbs,
     "rwnp_js": q_rwnp_js,
     "blast_cosine": q_blast_cosine,
@@ -973,6 +994,65 @@ FROM bf a JOIN bf b ON a.key = b.key AND a.eid < b.eid"""
 {_edges_sql('sb', scheme)}
 SELECT id1, id2, round(w, 6) AS weight FROM e
 WHERE w >= (SELECT avg(w) FROM e) - {EPS}"""
+
+    # WEP with the log/chi2 schemes: same retained-set EPS band; the
+    # scheme expressions mirror comparison_cleaning.edge_weights exactly
+    o["wep_ecbs"] = f"""WITH {SB},
+{_edges_sql('sb', 'CBS', 'xe')},
+nblk AS (SELECT CAST(count(DISTINCT key) AS DOUBLE) AS n FROM sb),
+we AS (
+  SELECT x.id1, x.id2,
+         x.cbs * log10(nblk.n / n1.nb) * log10(nblk.n / n2.nb) AS w
+  FROM xe x
+  JOIN xe_nb n1 ON n1.eid = x.id1 JOIN xe_nb n2 ON n2.eid = x.id2, nblk)
+SELECT id1, id2, round(w, 6) AS weight FROM we
+WHERE w >= (SELECT avg(w) FROM we) - {EPS}"""
+
+    o["wep_x2"] = f"""WITH {SB},
+{_edges_sql('sb', 'CBS', 'xe')},
+nblk AS (SELECT CAST(count(DISTINCT key) AS DOUBLE) AS n FROM sb),
+cells AS (
+  SELECT x.id1, x.id2,
+         CAST(x.cbs AS DOUBLE) AS o11,
+         CAST(n1.nb - x.cbs AS DOUBLE) AS o12,
+         CAST(n2.nb - x.cbs AS DOUBLE) AS o21,
+         nblk.n - n1.nb + x.cbs AS o22
+  FROM xe x
+  JOIN xe_nb n1 ON n1.eid = x.id1 JOIN xe_nb n2 ON n2.eid = x.id2, nblk),
+we AS (
+  SELECT id1, id2,
+         (CASE WHEN (o11+o12)*(o11+o21) <> 0 THEN
+            (o11 - (o11+o12)*(o11+o21)/(o11+o12+o21+o22))
+            * (o11 - (o11+o12)*(o11+o21)/(o11+o12+o21+o22))
+            / ((o11+o12)*(o11+o21)/(o11+o12+o21+o22)) ELSE 0 END)
+       + (CASE WHEN (o11+o12)*(o12+o22) <> 0 THEN
+            (o12 - (o11+o12)*(o12+o22)/(o11+o12+o21+o22))
+            * (o12 - (o11+o12)*(o12+o22)/(o11+o12+o21+o22))
+            / ((o11+o12)*(o12+o22)/(o11+o12+o21+o22)) ELSE 0 END)
+       + (CASE WHEN (o21+o22)*(o11+o21) <> 0 THEN
+            (o21 - (o21+o22)*(o11+o21)/(o11+o12+o21+o22))
+            * (o21 - (o21+o22)*(o11+o21)/(o11+o12+o21+o22))
+            / ((o21+o22)*(o11+o21)/(o11+o12+o21+o22)) ELSE 0 END)
+       + (CASE WHEN (o21+o22)*(o12+o22) <> 0 THEN
+            (o22 - (o21+o22)*(o12+o22)/(o11+o12+o21+o22))
+            * (o22 - (o21+o22)*(o12+o22)/(o11+o12+o21+o22))
+            / ((o21+o22)*(o12+o22)/(o11+o12+o21+o22)) ELSE 0 END) AS w
+  FROM cells)
+SELECT id1, id2, round(w, 6) AS weight FROM we
+WHERE w >= (SELECT avg(w) FROM we) - {EPS}"""
+
+    o["wep_ejs"] = f"""WITH {SB},
+{_edges_sql('sb', 'JS', 'xe')},
+bidir_ej AS (
+  SELECT id1 AS u FROM xe UNION ALL SELECT id2 FROM xe),
+cmp AS (SELECT u, CAST(count(*) AS DOUBLE) AS c FROM bidir_ej GROUP BY u),
+dd AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM xe),
+we AS (
+  SELECT x.id1, x.id2,
+         x.w * log10(dd.d / c1.c) * log10(dd.d / c2.c) AS w
+  FROM xe x JOIN cmp c1 ON c1.u = x.id1 JOIN cmp c2 ON c2.u = x.id2, dd)
+SELECT id1, id2, round(w, 6) AS weight FROM we
+WHERE w >= (SELECT avg(w) FROM we) - {EPS}"""
 
     o["wnp_cbs"] = f"""WITH {SB},
 {_edges_sql('sb', 'CBS')},
