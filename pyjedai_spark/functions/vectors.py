@@ -3,20 +3,30 @@
 The reference's vector path is FAISS IndexFlat top-k on the driver
 (src/pyjedai/vector_based_blocking.py:427-492). Spark-first:
 
-- brute-force cosine top-k: probe x corpus join with the dot product as
-  F.zip_with + F.aggregate (JVM higher-order functions, no UDF), window
-  top-k. Correct baseline; O(P*N) — use only for bounded probe sets.
-- sign-LSH bucketed top-k: 8-bit bucket from the signs of fixed
-  coordinate projections — a deterministic hyperplane family that an
-  ANSI-SQL oracle reproduces exactly; candidates only within matching
-  buckets (+ optional Hamming-1 neighbor buckets), then exact cosine.
-  The 100TB path: bucket groupBy instead of cross join.
+- banded sign-LSH top-k / dedup (THE default, the 100 TB path):
+  ``n_bands`` independent 16-bit sign-LSH bucket ids per vector —
+  2^16 buckets per band, so intra-bucket pair counts stay ~N^2/65536
+  per band instead of the N^2/256 a single 8-bit family degrades to —
+  candidates are pairs that collide in ANY band (multi-probe banding,
+  same recall idea as MinHash-LSH banding), then exact cosine.
+  Hyperplanes are deterministic sparse Rademacher projections
+  (Achlioptas 2003, public): each bit is sign(sum of +/- a few
+  coordinates). Every arithmetic step is a left-associated double
+  sum, so an ANSI-SQL oracle reproduces the buckets BIT-EXACTLY.
+- brute-force cosine top-k: probe x corpus broadcast join with the dot
+  product as F.zip_with + F.aggregate (JVM higher-order functions, no
+  UDF). Exactness baseline; requires a bounded probe set — refuses to
+  run all-pairs unless explicitly asked.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+DEFAULT_BANDS = 4
+DEFAULT_BAND_BITS = 16
+DEFAULT_PLANE_NNZ = 8
 
 
 def _dot(a, b):
@@ -32,17 +42,170 @@ def cosine_expr(a, b):
     return (_dot(a, b) / (_norm(a) * _norm(b))).cast("double")
 
 
+def hyperplane_family(dim: int, n_bands: int = DEFAULT_BANDS,
+                      band_bits: int = DEFAULT_BAND_BITS,
+                      nnz: int = DEFAULT_PLANE_NNZ):
+    """Deterministic sparse Rademacher hyperplanes, band-major: for
+    hyperplane h, a set of <= nnz coordinates with +/-1 signs. The
+    closed-form index/sign formulas make the family reproducible from
+    ANY engine (the SQL oracle regenerates it from the same code)."""
+    planes = []
+    for h in range(n_bands * band_bits):
+        coords = sorted({(h * 13 + i * 29) % dim for i in range(nnz)})
+        signs = [1.0 if ((h * 31 + c * 37) % 2 == 0) else -1.0 for c in coords]
+        planes.append((coords, signs))
+    return planes
+
+
+def band_bucket_exprs(vec_col, dim: int, n_bands: int = DEFAULT_BANDS,
+                      band_bits: int = DEFAULT_BAND_BITS,
+                      nnz: int = DEFAULT_PLANE_NNZ) -> list:
+    """One int bucket Column per band. Each bit's projection is a
+    left-associated sum of +/- coordinates (IEEE-deterministic, so the
+    SQL twin in ``band_bucket_sql`` matches bit-for-bit)."""
+    planes = hyperplane_family(dim, n_bands, band_bits, nnz)
+    buckets = []
+    for b in range(n_bands):
+        expr = F.lit(0).cast("long")
+        for r in range(band_bits):
+            coords, signs = planes[b * band_bits + r]
+            dot = None
+            for c, s in zip(coords, signs):
+                term = F.element_at(vec_col, c + 1) * F.lit(s)
+                dot = term if dot is None else dot + term
+            expr = expr + F.when(dot > 0, F.lit(1 << r)).otherwise(F.lit(0))
+        buckets.append(expr)
+    return buckets
+
+
+def band_bucket_sql(vec_sql: str, dim: int, n_bands: int = DEFAULT_BANDS,
+                    band_bits: int = DEFAULT_BAND_BITS,
+                    nnz: int = DEFAULT_PLANE_NNZ) -> list[str]:
+    """ANSI-SQL twin of ``band_bucket_exprs`` (1-based array indexing,
+    same left-associated sums) — used to generate DuckDB oracles."""
+    planes = hyperplane_family(dim, n_bands, band_bits, nnz)
+    out = []
+    for b in range(n_bands):
+        bits = []
+        for r in range(band_bits):
+            coords, signs = planes[b * band_bits + r]
+            terms = " + ".join(
+                f"{vec_sql}[{c + 1}] * ({s:.1f})" for c, s in zip(coords, signs))
+            bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << r} ELSE 0 END)")
+        out.append("(" + " + ".join(bits) + ")")
+    return out
+
+
+def _vec_dim(vectors: DataFrame, vec_col: str) -> int:
+    row = vectors.select(F.size(vec_col)).first()
+    if row is None or row[0] is None or row[0] <= 0:
+        raise ValueError("cannot infer embedding dimension from empty input")
+    return int(row[0])
+
+
+def _banded(vectors: DataFrame, id_col: str, vec_col: str,
+            n_bands: int, band_bits: int, nnz: int,
+            dim: int | None) -> DataFrame:
+    """(_id, _v, band, bucket) — one row per (vector, band)."""
+    v = vectors.select(F.col(id_col).alias("_id"),
+                       F.col(vec_col).cast("array<double>").alias("_v"))
+    d = dim or _vec_dim(v, "_v")
+    bux = band_bucket_exprs(F.col("_v"), d, n_bands, band_bits, nnz)
+    return v.select(
+        "_id", "_v",
+        F.posexplode(F.array(*bux)).alias("band", "bucket"),
+    )
+
+
+def lsh_topk(vectors: DataFrame, k: int = 10,
+             n_bands: int = DEFAULT_BANDS, band_bits: int = DEFAULT_BAND_BITS,
+             nnz: int = DEFAULT_PLANE_NNZ, dim: int | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_to: int = 6) -> DataFrame:
+    """Approximate top-k: candidates are pairs colliding in ANY of the
+    ``n_bands`` 16-bit sign-LSH bands; exact cosine inside the candidate
+    set. (query_id, neighbor_id, cosine, rank)."""
+    vb = _banded(vectors, id_col, vec_col, n_bands, band_bits, nnz, dim)
+    a = vb.select(F.col("_id").alias("query_id"), "band", "bucket")
+    b = vb.select(F.col("_id").alias("neighbor_id"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    v = vectors.select(F.col(id_col).alias("_id"),
+                       F.col(vec_col).cast("array<double>").alias("_v"))
+    j = (
+        cand.join(v.select(F.col("_id").alias("query_id"),
+                           F.col("_v").alias("_q")), "query_id")
+        .join(v.select(F.col("_id").alias("neighbor_id"),
+                       F.col("_v").alias("_n")), "neighbor_id")
+        .withColumn("cosine",
+                    F.round(cosine_expr(F.col("_q"), F.col("_n")), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_cosine_dedup(vectors: DataFrame, threshold: float = 0.95,
+                           n_bands: int = DEFAULT_BANDS,
+                           band_bits: int = DEFAULT_BAND_BITS,
+                           nnz: int = DEFAULT_PLANE_NNZ, dim: int | None = None,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           round_to: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH
+    (id1<id2, cosine >= threshold). The embedding analogue of
+    MinHash-LSH dedup."""
+    vb = _banded(vectors, id_col, vec_col, n_bands, band_bits, nnz, dim)
+    a = vb.select(F.col("_id").alias("id1"), "band", "bucket")
+    b = vb.select(F.col("_id").alias("id2"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    v = vectors.select(F.col(id_col).alias("_id"),
+                       F.col(vec_col).cast("array<double>").alias("_v"))
+    return (
+        cand.join(v.select(F.col("_id").alias("id1"),
+                           F.col("_v").alias("_v1")), "id1")
+        .join(v.select(F.col("_id").alias("id2"),
+                       F.col("_v").alias("_v2")), "id2")
+        .withColumn("cosine", F.round(cosine_expr(F.col("_v1"), F.col("_v2")),
+                                      round_to))
+        .where(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
 def brute_force_topk(vectors: DataFrame, k: int = 10,
                      probe_ids: list[int] | None = None,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     round_to: int = 6) -> DataFrame:
-    """Exact cosine top-k neighbors per probe. (query_id, neighbor_id,
-    cosine, rank); ties broken by neighbor id asc."""
+                     round_to: int = 6, allow_full_scan: bool = False) -> DataFrame:
+    """Exact cosine top-k neighbors per probe — the EXACTNESS BASELINE,
+    not the scale path (that is ``lsh_topk``). The probe side must be a
+    bounded explicit set, broadcast against the corpus (executes as a
+    broadcast nested-loop, never a shuffled cartesian); an unbounded
+    all-pairs run is refused unless ``allow_full_scan=True`` (tests
+    only). (query_id, neighbor_id, cosine, rank); ties by id asc."""
+    if probe_ids is None and not allow_full_scan:
+        raise ValueError(
+            "brute_force_topk without probe_ids is O(N^2); pass a bounded "
+            "probe set, or allow_full_scan=True for test-scale oracles, "
+            "or use lsh_topk (the scale path)")
     v = vectors.select(F.col(id_col).alias("_id"),
                        F.col(vec_col).cast("array<double>").alias("_v"))
     probes = v.withColumnRenamed("_id", "query_id").withColumnRenamed("_v", "_q")
     if probe_ids is not None:
         probes = probes.where(F.col("query_id").isin(probe_ids))
+        probes = F.broadcast(probes)
     j = probes.crossJoin(v).where(F.col("query_id") != F.col("_id"))
     j = j.withColumn("cosine", F.round(cosine_expr(F.col("_q"), F.col("_v")), round_to))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
@@ -55,59 +218,12 @@ def brute_force_topk(vectors: DataFrame, k: int = 10,
 
 
 def sign_lsh_bucket(vec_col, dims: list[int] | None = None):
-    """Deterministic sign-LSH bucket id: bit_i = (v[dims[i]] > 0).
-    Coordinate hyperplanes keep the family portable to any SQL oracle;
-    on a real cluster swap in seeded random hyperplanes broadcast to
-    executors."""
+    """Single-band coordinate-sign bucket (the round-1 family) — kept
+    for tests/back-compat; superseded by ``band_bucket_exprs`` (more
+    bits + banding) as the default scale path."""
     dims = dims or list(range(8))
     expr = F.lit(0)
     for i, d in enumerate(dims):
         expr = expr + F.when(F.element_at(vec_col, d + 1) > 0,
                              F.lit(1 << i)).otherwise(F.lit(0))
     return expr
-
-
-def lsh_topk(vectors: DataFrame, k: int = 10, dims: list[int] | None = None,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             round_to: int = 6) -> DataFrame:
-    """Approximate top-k: candidates restricted to the same sign-LSH
-    bucket, exact cosine inside the bucket. (query_id, neighbor_id,
-    cosine, rank)."""
-    v = vectors.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("bucket", sign_lsh_bucket(F.col("_v"), dims))
-    a = v.select(F.col("_id").alias("query_id"), F.col("_v").alias("_q"), "bucket")
-    j = a.join(v, "bucket").where(F.col("query_id") != F.col("_id"))
-    j = j.withColumn("cosine", F.round(cosine_expr(F.col("_q"), F.col("_v")), round_to))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                               F.col("_id").asc())
-    return (
-        j.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("_id").alias("neighbor_id"), "cosine", "rank")
-    )
-
-
-def embedding_cosine_dedup(vectors: DataFrame, threshold: float = 0.95,
-                           dims: list[int] | None = None,
-                           id_col: str = "vec_id", vec_col: str = "embedding",
-                           round_to: int = 6) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via sign-LSH buckets
-    (id1<id2, cosine >= threshold). The embedding analogue of
-    MinHash-LSH dedup."""
-    v = vectors.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("bucket", sign_lsh_bucket(F.col("_v"), dims))
-    a = v.select(F.col("_id").alias("id1"), F.col("_v").alias("_v1"), "bucket")
-    b = v.select(F.col("_id").alias("id2"), F.col("_v").alias("_v2"), "bucket")
-    return (
-        a.join(b, "bucket")
-        .where(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_v1"), F.col("_v2")),
-                                      round_to))
-        .where(F.col("cosine") >= threshold)
-        .select("id1", "id2", "cosine")
-        .distinct()
-    )

@@ -171,7 +171,7 @@ def center_clustering(edges: DataFrame, similarity_threshold: float = 0.5,
             e.select(F.col("id2").alias("u"), F.col(weight_col).alias("w"))
         )
         sums = bw.groupBy("u").agg(F.sum("w").alias("wsum"))
-        rows = (
+        weighted = (
             e.join(sums.withColumnRenamed("u", "id1").withColumnRenamed("wsum", "s1"),
                    "id1")
             .join(sums.withColumnRenamed("u", "id2").withColumnRenamed("wsum", "s2"),
@@ -179,12 +179,11 @@ def center_clustering(edges: DataFrame, similarity_threshold: float = 0.5,
             .select("id1", "id2",
                     (F.col(weight_col) / F.col("s1")
                      + F.col(weight_col) / F.col("s2")).alias("w"))
-            .collect()
         )
     else:
-        rows = e.select("id1", "id2", F.col(weight_col).alias("w")).collect()
-    if len(rows) > DRIVER_EDGE_LIMIT:
-        raise ValueError("center clustering input too large")
+        weighted = e.select("id1", "id2", F.col(weight_col).alias("w"))
+    # count-before-collect: the OOM guard must fire BEFORE materialization
+    rows = _collect_edges(weighted, "w")
     rows.sort(key=lambda r: (-r[2], r[0], r[1]))
     center: dict = {}
     is_center: set = set()
@@ -367,12 +366,22 @@ def correlation_clustering(edges: DataFrame, initial_threshold: float = 0.5,
 
 def kiraly_msm_clustering(edges: DataFrame, side1,
                           similarity_threshold: float = 0.1,
-                          weight_col: str = "sim") -> DataFrame:
+                          weight_col: str = "sim",
+                          reference_one_shot: bool = False) -> DataFrame:
     """KiralyMSMApproximateClustering (clustering.py:1173-1341): Kiraly's
     3/2-approx stable marriage over the CCER bipartite match graph —
     men (side 1) propose down their preference lists; a woman trades up
-    only for a strictly better score; rejected bachelors re-enter once
-    with all candidates re-activated. CCER-only, like the reference.
+    only for a strictly better score. CCER-only, like the reference.
+
+    DOCUMENTED DEVIATION (default ``reference_one_shot=False``): the
+    reference's loop (clustering.py:1234-1261) never re-appends a
+    rejected proposer or a displaced fiance to the free list, and
+    re-appends a bachelor only when he has NO candidates — each man
+    effectively proposes ONCE, so most of every preference list is dead
+    code. The default here runs the published algorithm (re-queue on
+    rejection/displacement, one bachelor re-entry with re-activated
+    candidates). Pass ``reference_one_shot=True`` for bit-parity with
+    the reference's one-shot behavior.
 
     ``side1`` = set/list of side-1 ids (the reference infers it from
     dataset_limit; our CCER ids are disjoint, not offset). Returns
@@ -402,11 +411,19 @@ def kiraly_msm_clustering(edges: DataFrame, side1,
         if woman is None:
             if man not in bachelor:
                 bachelor.add(man)
-                for c in cands:
-                    c[2] = True
-                if not cands:
-                    continue
-                free.append(man)
+                if reference_one_shot:
+                    # clustering.py:1238-1243: re-append only when the man
+                    # has NO candidates; activation happens either way
+                    if not cands:
+                        free.append(man)
+                    for c in cands:
+                        c[2] = True
+                else:
+                    for c in cands:
+                        c[2] = True
+                    if not cands:
+                        continue
+                    free.append(man)
             continue
         cur = fiance.get(woman)
         if cur is None:
@@ -416,12 +433,14 @@ def kiraly_msm_clustering(edges: DataFrame, side1,
             for c in men_cand.get(cur, []):
                 if c[0] == woman:
                     c[2] = False
-            free.append(cur)
+            if not reference_one_shot:  # ref never re-appends the displaced
+                free.append(cur)
         else:
             for c in cands:
                 if c[0] == woman:
                     c[2] = False
-            free.append(man)
+            if not reference_one_shot:  # ref never re-appends the rejected
+                free.append(man)
     out = [(int(m), int(w_), float(women_pref[w_][m]))
            for w_, m in fiance.items()]
     return spark.createDataFrame(out or [(None, None, None)],
@@ -436,9 +455,9 @@ def row_column_clustering(edges: DataFrame, side1,
     scan assignment on the NEGATED similarity matrix — per row pick the
     cheapest uncovered column and vice versa; keep whichever full
     assignment (rows-scan or columns-scan) costs less, then emit
-    1-1 matches. Reference quirk replicated: the final threshold test
-    runs against the NEGATED matrix (1-sim < t, clustering.py:1546),
-    i.e. keeps pairs with sim > 1 - threshold."""
+    1-1 matches. Final filter matches the reference exactly
+    (clustering.py:1540-1543): the selected pair is kept only when its
+    POSITIVE similarity >= threshold (``sim < t -> skip``)."""
     spark = edges.sparkSession
     side1 = set(side1)
     rows = _collect_edges(edges, weight_col)
@@ -491,7 +510,7 @@ def row_column_clustering(edges: DataFrame, side1,
     for r, c in enumerate(proxy):
         if c is None or c < 0:
             continue
-        if neg[r, c] >= similarity_threshold:  # reference's negated test
+        if simm[r, c] < similarity_threshold:  # reference clustering.py:1541
             continue
         a, b = d1[r], d2[c]
         if a in matched or b in matched:

@@ -154,9 +154,13 @@ def ejoin(docs: DataFrame, similarity_threshold: float = 0.82,
     sizes = toks.select("eid", F.size("toks").alias("f"))
     ex = toks.select("eid", F.size("toks").alias("f"),
                      F.explode("toks").alias("tok"))
-    # global df order; the df dim is small (vocabulary) -> broadcast
+    # global document-frequency order. NOT broadcast: real webtext
+    # vocabulary (typos, hashes, URLs) is billions of tokens — a full-df
+    # broadcast OOMs the driver. A plain shuffle join on the token key
+    # is one extra exchange and scales; AQE converts it to broadcast
+    # automatically when the vocab is genuinely small.
     dfreq = ex.groupBy("tok").agg(F.count("*").alias("df"))
-    exr = ex.join(F.broadcast(dfreq), "tok")
+    exr = ex.join(dfreq, "tok")
     w = Window.partitionBy("eid").orderBy(F.col("df").asc(), F.col("tok").asc())
     prefix = (
         exr.withColumn("_rn", F.row_number().over(w))
@@ -189,20 +193,39 @@ def ejoin(docs: DataFrame, similarity_threshold: float = 0.82,
     )
 
 
+# descending threshold schedule for the top-K prefix filter: each pass
+# is an EXACT prefix-filtered epsilon-join, so if enough results survive
+# at threshold t the true top-K is a subset — identical output to the
+# unfiltered join, but the candidate pair space shrinks by orders of
+# magnitude whenever the K-th similarity is non-trivial (the common case
+# for near-dup webtext). The final 0.0 rung is the exhaustive fallback.
+_TOPK_DESCENT = (0.9, 0.7, 0.5, 0.3, 0.15, 0.0)
+
+
 def topk_join(docs: DataFrame, k: int, metric: str = "cosine",
               tokenization: str = "standard", qgrams: int = 2,
               id_col: str = "doc_id", text_col: str = "text",
               round_to: int | None = 6) -> DataFrame:
     """Global top-K pairs by similarity (TopKJoin, joins.py:381-435 —
     there the PQ yields a global K-th-weight threshold). Deterministic
-    tie-break (sim desc, id1 asc, id2 asc); canonical pairs."""
-    sims = _pair_sims(docs, metric, tokenization, qgrams, id_col, text_col, round_to)
-    return (
-        sims.where(F.col("id1") < F.col("id2"))
-        .orderBy(F.col("sim").desc(), F.col("id1").asc(), F.col("id2").asc())
-        .limit(k)
-        .select("id1", "id2", "sim")
-    )
+    tie-break (sim desc, id1 asc, id2 asc); canonical pairs.
+
+    Scale path: threshold descent over exact prefix-filtered ε-joins
+    (``_TOPK_DESCENT``) — the first rung that yields >= k pairs bounds
+    the answer (every pair with sim >= t is found, so the global top-K
+    lies inside it); only a pathological corpus where the K-th pair has
+    sim < 0.15 pays the full token self-join."""
+    for t in _TOPK_DESCENT:
+        cand = ejoin(docs, t, metric, tokenization, qgrams, id_col,
+                     text_col, round_to)
+        if t <= 0 or cand.limit(k).count() >= k:
+            return (
+                cand.orderBy(F.col("sim").desc(), F.col("id1").asc(),
+                             F.col("id2").asc())
+                .limit(k)
+                .select("id1", "id2", "sim")
+            )
+    raise AssertionError("unreachable: descent ends at 0.0")
 
 
 def pe_topk_join(docs: DataFrame, k: int, metric: str = "cosine",
@@ -211,12 +234,87 @@ def pe_topk_join(docs: DataFrame, k: int, metric: str = "cosine",
                  round_to: int | None = 6) -> DataFrame:
     """Per-entity top-K neighborhoods (PETopKJoin, joins.py:437-551;
     neighborhood sort by (-sim, id) at joins.py:264-269 replicated as
-    the window order). Returns (eid, neighbor, sim, rank)."""
-    sims = _pair_sims(docs, metric, tokenization, qgrams, id_col, text_col, round_to)
-    w = Window.partitionBy("id2").orderBy(F.col("sim").desc(), F.col("id1").asc())
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(F.col("id2").alias("eid"), F.col("id1").alias("neighbor"),
-                "sim", "rank")
+    the window order). Returns (eid, neighbor, sim, rank).
+
+    Scale path — per-entity residual threshold descent: at each rung t,
+    an exact asymmetric prefix-filtered join finds ALL pairs with
+    sim >= t whose probe side is a still-unfinished entity; an entity
+    with k verified neighbors at sim >= t is FINAL (nothing below t can
+    enter its top-k). Only the residual entities — those whose k-th
+    neighbor is genuinely weak — fall through to the exhaustive join,
+    and that final join runs on the residual probe set alone."""
+    toks = docs.select(
+        F.col(id_col).alias("eid"),
+        _join_tokens(F.col(text_col), tokenization, qgrams).alias("toks"),
     )
+    ex = toks.select("eid", F.size("toks").alias("f"),
+                     F.explode("toks").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    exr = ex.join(dfreq, "tok")
+    w_pref = Window.partitionBy("eid").orderBy(F.col("df").asc(),
+                                               F.col("tok").asc())
+    ranked = exr.withColumn("_rn", F.row_number().over(w_pref))
+
+    w_rank = Window.partitionBy("eid").orderBy(F.col("sim").desc(),
+                                               F.col("neighbor").asc())
+    remaining = toks.select("eid")
+    parts = []
+    for t in _TOPK_DESCENT:
+        if t > 0:
+            pref = ranked.where(
+                F.col("_rn") <= _prefix_len(metric, t, F.col("f"))
+            ).select("eid", "tok")
+            probe = pref.join(remaining, "eid")
+            cand = (
+                probe.select(F.col("eid"), "tok")
+                .join(pref.select(F.col("eid").alias("neighbor"), "tok"), "tok")
+                .where(F.col("eid") != F.col("neighbor"))
+                .select("eid", "neighbor")
+                .distinct()
+            )
+        else:  # exhaustive fallback, residual probes only
+            probe_toks = toks.join(remaining, "eid").select(
+                "eid", F.explode("toks").alias("tok"))
+            cand = (
+                probe_toks
+                .join(ex.select(F.col("eid").alias("neighbor"), "tok"), "tok")
+                .where(F.col("eid") != F.col("neighbor"))
+                .select("eid", "neighbor")
+                .distinct()
+            )
+        verified = (
+            cand.join(toks.select(F.col("eid").alias("eid"),
+                                  F.col("toks").alias("_ta")), "eid")
+            .join(toks.select(F.col("eid").alias("neighbor"),
+                              F.col("toks").alias("_tb")), "neighbor")
+            .withColumn("c", F.size(F.array_intersect("_ta", "_tb")))
+            .withColumn("sim", _sim_expr(metric, F.col("c"),
+                                         F.size("_ta"), F.size("_tb"))
+                        .cast("double"))
+        )
+        if round_to is not None:
+            verified = verified.withColumn("sim", F.round("sim", round_to))
+        if t > 0:
+            verified = verified.where(F.col("sim") >= t)
+        topk = (
+            verified.withColumn("rank", F.row_number().over(w_rank))
+            .where(F.col("rank") <= k)
+            .select("eid", "neighbor", "sim", "rank")
+        )
+        if t > 0:
+            # an entity is final when its k-th neighbor clears t
+            finished = (topk.groupBy("eid").agg(F.count("*").alias("_n"))
+                        .where(F.col("_n") == k).select("eid"))
+            finished = finished.localCheckpoint(eager=True)
+            done_part = topk.join(finished, "eid").localCheckpoint(eager=True)
+            parts.append(done_part)
+            remaining = remaining.join(finished, "eid", "left_anti") \
+                                 .localCheckpoint(eager=True)
+            if remaining.limit(1).count() == 0:
+                break
+        else:
+            parts.append(topk)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

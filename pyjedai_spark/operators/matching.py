@@ -68,46 +68,94 @@ def set_similarity_expr(t1, t2, metric: str):
     ).cast("double")
 
 
+def _jaro_py(a: str, b: str) -> float:
+    """Classic Jaro similarity, plain-python kernel shared by the two
+    pandas UDFs below (reference delegates to the py-stringcompare C++
+    kernel, matching.py:11)."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and a[i] == b[j]:
+                match_a[i] = match_b[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / la + matches / lb + (matches - t) / matches) / 3
+
+
 @pandas_udf(DoubleType())
 def _jaro_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
     """Arrow-batched Jaro similarity (reference delegates to the
     py-stringcompare C++ kernel, matching.py:11; classic Jaro here)."""
     import numpy as np
 
-    def jaro(a: str, b: str) -> float:
-        if a == b:
+    return pd.Series(np.fromiter(
+        (_jaro_py(x, y) for x, y in zip(s1.astype(str), s2.astype(str))),
+        dtype=float, count=len(s1)))
+
+
+@pandas_udf(DoubleType())
+def _generalized_jaccard_udf(t1: pd.Series, t2: pd.Series) -> pd.Series:
+    """GeneralizedJaccard (string_matchers.py:92-140): soft token overlap
+    via Jaro-matched token pairs. For token sets A, B: all cross pairs
+    with jaro > 0.5 are sorted by score desc and greedily consumed
+    (each token used once); score = sum(matched jaro) / (|A|+|B|-k).
+
+    Determinism delta (documented, SURVEY §4): the reference iterates
+    python ``set``s, so equal-score ties resolve in hash order — here
+    ties break by (token1, token2) ascending so runs reproduce.
+    """
+    def gj(a, b) -> float:
+        s1 = set("" if x is None else str(x) for x in (a if a is not None else []))
+        s2 = set("" if x is None else str(x) for x in (b if b is not None else []))
+        if s1 == s2:
             return 1.0
-        la, lb = len(a), len(b)
-        if la == 0 or lb == 0:
+        if not s1 or not s2:
             return 0.0
-        window = max(la, lb) // 2 - 1
-        match_a = [False] * la
-        match_b = [False] * lb
-        matches = 0
-        for i in range(la):
-            lo, hi = max(0, i - window), min(lb, i + window + 1)
-            for j in range(lo, hi):
-                if not match_b[j] and a[i] == b[j]:
-                    match_a[i] = match_b[j] = True
-                    matches += 1
-                    break
-        if matches == 0:
-            return 0.0
-        t = 0
+        matches = []
+        for e1 in s1:
+            for e2 in s2:
+                score = _jaro_py(e1, e2)
+                if score > 0.5:
+                    matches.append((-score, e1, e2))
+        matches.sort()
+        used1: set = set()
+        used2: set = set()
+        total = 0.0
         k = 0
-        for i in range(la):
-            if match_a[i]:
-                while not match_b[k]:
-                    k += 1
-                if a[i] != b[k]:
-                    t += 1
-                k += 1
-        t //= 2
-        return (matches / la + matches / lb + (matches - t) / matches) / 3
+        for negs, e1, e2 in matches:
+            if e1 in used1 or e2 in used2:
+                continue
+            used1.add(e1)
+            used2.add(e2)
+            total += -negs
+            k += 1
+        return total / float(len(s1) + len(s2) - k)
+
+    import numpy as np
 
     return pd.Series(np.fromiter(
-        (jaro(x, y) for x, y in zip(s1.astype(str), s2.astype(str))),
-        dtype=float, count=len(s1)))
+        (gj(x, y) for x, y in zip(t1, t2)), dtype=float, count=len(t1)))
 
 
 def entity_matching(pairs: DataFrame, docs: DataFrame,
@@ -124,7 +172,7 @@ def entity_matching(pairs: DataFrame, docs: DataFrame,
     The doc->tokens projection happens ONCE before the two joins (column
     pruned to (id, tokens)); the pairs table joins it twice.
     """
-    if metric in SET_METRICS - {"generalized_jaccard"}:
+    if metric in SET_METRICS:
         toks = docs.select(
             F.col(id_col).alias("_id"),
             _tokenize_expr(F.col(text_col), tokenizer, qgram).alias("_toks"),
@@ -135,7 +183,10 @@ def entity_matching(pairs: DataFrame, docs: DataFrame,
             .join(toks.select(F.col("_id").alias("id2"),
                               F.col("_toks").alias("_t2")), "id2")
         )
-        sim = set_similarity_expr(F.col("_t1"), F.col("_t2"), metric)
+        if metric == "generalized_jaccard":
+            sim = _generalized_jaccard_udf(F.col("_t1"), F.col("_t2"))
+        else:
+            sim = set_similarity_expr(F.col("_t1"), F.col("_t2"), metric)
     elif metric == "levenshtein":
         txt = docs.select(F.col(id_col).alias("_id"),
                           F.lower(F.col(text_col)).alias("_s"))

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.positions import with_global_position
+
 EMIT_METHODS = {"TOP", "HB", "DFS", "BFS"}
 
 
@@ -31,8 +33,12 @@ def _scheduled(edges: DataFrame, weight_col: str) -> DataFrame:
     desc, neighbor asc) — the DatasetScheduler sort (utils.py:460-462)."""
     w = F.col(weight_col)
     nb_stats = edges.groupBy("id1").agg(F.avg(w).alias("_avg"))
-    nb_rank = Window.orderBy(F.col("_avg").desc(), F.col("id1").asc())
-    ranked_nbs = nb_stats.withColumn("nb_rank", F.row_number().over(nb_rank))
+    # one row per NEIGHBORHOOD, ranked by avg weight desc — a distributed
+    # two-pass rank (functions/positions.py), not an unpartitioned window
+    # (which would push every neighborhood through a single task at scale)
+    ranked_nbs = with_global_position(
+        nb_stats, [F.col("_avg").desc(), F.col("id1").asc()], "_nbr"
+    ).withColumn("nb_rank", (F.col("_nbr") + 1).cast("int")).drop("_nbr")
     within = Window.partitionBy("id1").orderBy(w.desc(), F.col("id2").asc())
     return (
         edges.join(ranked_nbs.select("id1", "nb_rank"), "id1")
@@ -69,6 +75,8 @@ def emit(edges: DataFrame, budget: int, method: str = "HB",
         else:  # BFS
             key = [F.col("within_rank").asc(), F.col("nb_rank").asc()]
     out = ordered.orderBy(*key).limit(budget)
+    # unpartitioned window is safe HERE: its input is already capped at
+    # ``budget`` rows by the limit above (TakeOrdered), not data-sized
     rank_w = Window.orderBy(*key)
     return out.select(
         "id1", "id2", w.alias("weight"),

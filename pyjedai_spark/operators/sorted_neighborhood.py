@@ -17,34 +17,39 @@ same rule.
 Spark-first formulation — no position index dict, no per-entity loop:
 
     postings(key, eid)
-    -> global position: row_number() over (ORDER BY key, eid) - 1
+    -> global position: range-partitioned sort + per-partition
+       row_number + partition offsets (functions/positions.py — never
+       an unpartitioned window, which would serialize all postings
+       through one task)
     -> window join: explode offsets 1..W, equi-join pos_b = pos_a + w
        (a range join realized as W equi-joins in ONE shuffle)
     -> groupBy(pair [, w]) aggregation of the counter
     -> weight expression per scheme.
 
-Scale note: the single global sort is the same ORDER BY any
-sorted-neighborhood method needs; Spark executes it as a range-
-partitioned sort (no single-machine bottleneck). The join key ``pos``
-is unique per side, so the equi-join is skew-free by construction —
-the reason PSN is attractive at web scale vs token blocking.
+Scale note: the position index costs three small distributed jobs; the
+join key ``pos`` is unique per side, so the equi-join is skew-free by
+construction — the reason PSN is attractive at web scale vs token
+blocking.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.positions import with_global_position
 
 SCHEMES = {"ACF", "NCF", "ID", "COSINE", "DICE"}
 
 
 def sorted_positions(postings: DataFrame) -> DataFrame:
     """(pos, eid): the PositionIndex flattened — one row per posting,
-    global position by (block key, eid) ascending."""
-    w = Window.orderBy(F.col("key"), F.col("eid"))
-    return postings.select(
-        (F.row_number().over(w) - 1).alias("pos"), "eid"
-    )
+    global position by (block key, eid) ascending. Distributed two-pass
+    rank; (key, eid) is unique per posting, so positions are total and
+    deterministic."""
+    return with_global_position(
+        postings.select("key", "eid"), ["key", "eid"], "pos"
+    ).select("pos", "eid")
 
 
 def _window_cooccurrences(positions: DataFrame, window: int) -> DataFrame:

@@ -467,23 +467,38 @@ def q_token_count(spark, sf_dir):
                       F.col("n_chars").cast("long").alias("n_chars"))
 
 
+_EMB_DIM = 64  # testdata embeddings are 64-dim at every SF (TESTDATA.md)
+
+
 def q_ann_topk(spark, sf_dir):
+    """DEFAULT ANN path: banded 16-bit sign-LSH candidates + exact
+    cosine rerank (the 100 TB plan — never a cartesian product)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = V.lsh_topk(emb, k=10, dim=_EMB_DIM)
+    return out.select("query_id", "neighbor_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Same family at a recall/cost trade-off (2 bands x 12 bits)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = V.lsh_topk(emb, k=10, n_bands=2, band_bits=12, dim=_EMB_DIM)
+    return out.select("query_id", "neighbor_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    """Exactness baseline: bounded 20-probe broadcast brute force (the
+    probe side MUST be bounded; lsh_topk is the unbounded-N path)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = V.brute_force_topk(emb, k=10, probe_ids=list(range(20)))
     return out.select("query_id", "neighbor_id", "cosine",
                       F.col("rank").cast("long").alias("rank"))
 
 
-def q_ann_lsh_topk(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = V.lsh_topk(emb, k=10)
-    return out.select("query_id", "neighbor_id", "cosine",
-                      F.col("rank").cast("long").alias("rank"))
-
-
 def q_embedding_dedup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return V.embedding_cosine_dedup(emb, threshold=0.7)
+    return V.embedding_cosine_dedup(emb, threshold=0.42, dim=_EMB_DIM)
 
 
 # ------- no-oracle (rows-only) queries: non-SQL-expressible surfaces
@@ -763,6 +778,19 @@ def q_em_dice(spark, sf_dir):
                              similarity_threshold=0.4, round_to=6)
 
 
+def q_em_generalized_jaccard(spark, sf_dir):
+    """GeneralizedJaccard (string_matchers.py:92-140): Jaro-matched soft
+    token overlap, greedy best-score assignment. Pair set thinned 40x
+    (id1 % 40 = 0) and text truncated to a 60-char prefix to bound the
+    O(|A|*|B|) Jaro cross-products and the greedy recursion depth in the
+    DuckDB oracle's recursive-CTE replica (same semantics, small sets)."""
+    docs, cands = _cnp_cands(spark, sf_dir)
+    cands = cands.where(F.col("id1") % 40 == 0)
+    docs = docs.withColumn("text", F.substring("text", 1, 60))
+    return M.entity_matching(cands, docs, metric="generalized_jaccard",
+                             similarity_threshold=0.3, round_to=6)
+
+
 def q_em_jaccard_quirk(spark, sf_dir):
     docs, cands = _cnp_cands(spark, sf_dir)
     return M.entity_matching(cands, docs, metric="jaccard",
@@ -904,6 +932,7 @@ QUERIES = {
     "token_count": q_token_count,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_brute_topk": q_ann_brute_topk,
     "embedding_dedup": q_embedding_dedup,
     # rows-only (no SQL oracle): pandas-UDF path & sequential clusterer
     "webtext_minhash_clusters": q_webtext_minhash_clusters,
@@ -921,6 +950,7 @@ QUERIES = {
     "pes_hb": q_pes_hb,
     "meta_cnp_cleaned": q_meta_cnp_cleaned,
     "em_dice": q_em_dice,
+    "em_generalized_jaccard": q_em_generalized_jaccard,
     "em_jaccard_quirk": q_em_jaccard_quirk,
     "em_overlap": q_em_overlap,
     "em_levenshtein": q_em_levenshtein,
@@ -964,7 +994,7 @@ SELECT key AS token, count(*) AS block_size FROM sb GROUP BY key"""
 sizes AS (SELECT key, count(*) AS block_size FROM sb GROUP BY key),
 tot AS (SELECT sum(block_size) AS t FROM sizes)
 SELECT count(*) AS num_blocks,
-       sum(block_size) AS total_assignments,
+       CAST(sum(block_size) AS BIGINT) AS total_assignments,
        min(block_size) AS min_block_size,
        max(block_size) AS max_block_size,
        round(avg(block_size), 6) AS avg_block_size,
@@ -1313,7 +1343,7 @@ FROM documents"""
 
     _cos = ("list_dot_product(a.v, b.v) / "
             "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")
-    o["ann_topk"] = f"""WITH v AS (
+    o["ann_brute_topk"] = f"""WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        round({_cos}, 6) AS cosine,
@@ -1323,29 +1353,49 @@ FROM v a JOIN v b ON a.vec_id <> b.vec_id
 WHERE a.vec_id < 20
 QUALIFY rank <= 10"""
 
-    bucket = " + ".join(
-        f"(CASE WHEN v[{d + 1}] > 0 THEN {1 << i} ELSE 0 END)"
-        for i, d in enumerate(range(8)))
-    o["ann_lsh_topk"] = f"""WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         {bucket} AS bucket
-  FROM embeddings)
-SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    def _banded_cte(n_bands: int, band_bits: int) -> str:
+        """vb(vec_id, band, bucket) from the SAME deterministic sparse
+        Rademacher family as functions/vectors.band_bucket_exprs —
+        left-associated double sums, so buckets match Spark bit-exactly."""
+        from .functions.vectors import DEFAULT_PLANE_NNZ, band_bucket_sql
+
+        bands = band_bucket_sql("v", 64, n_bands, band_bits,
+                                DEFAULT_PLANE_NNZ)
+        selects = [
+            f"SELECT vec_id, {b} AS band, {sql} AS bucket FROM v"
+            for b, sql in enumerate(bands)
+        ]
+        return "vb AS (\n  " + "\n  UNION ALL ".join(selects) + ")"
+
+    def _lsh_topk_sql(n_bands: int, band_bits: int) -> str:
+        return f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_banded_cte(n_bands, band_bits)},
+cand AS (
+  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
+  FROM vb x JOIN vb y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.vec_id <> y.vec_id)
+SELECT c.qid AS query_id, c.nid AS neighbor_id,
        round({_cos}, 6) AS cosine,
-       row_number() OVER (PARTITION BY a.vec_id
-                          ORDER BY round({_cos}, 6) DESC, b.vec_id) AS rank
-FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       row_number() OVER (PARTITION BY c.qid
+                          ORDER BY round({_cos}, 6) DESC, c.nid) AS rank
+FROM cand c JOIN v a ON a.vec_id = c.qid JOIN v b ON b.vec_id = c.nid
 QUALIFY rank <= 10"""
 
+    o["ann_topk"] = _lsh_topk_sql(4, 16)
+    o["ann_lsh_topk"] = _lsh_topk_sql(2, 12)
+
     o["embedding_dedup"] = f"""WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         {bucket} AS bucket
-  FROM embeddings)
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_banded_cte(4, 16)},
+cand AS (
+  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+  FROM vb x JOIN vb y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.vec_id < y.vec_id)
 SELECT id1, id2, cosine FROM (
-  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
-         round({_cos}, 6) AS cosine
-  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-WHERE cosine >= 0.7"""
+  SELECT c.id1, c.id2, round({_cos}, 6) AS cosine
+  FROM cand c JOIN v a ON a.vec_id = c.id1 JOIN v b ON b.vec_id = c.id2)
+WHERE cosine >= 0.42"""
 
     # ---------------- blocking-key families (q / suffix / substring = 4)
 
@@ -1509,6 +1559,69 @@ SELECT id1, id2, sim FROM scored WHERE sim > {threshold}"""
         f"{_i} * 1.0 / (len(a.t) + len(b.t) + {_i})", 0.2)
     o["em_overlap"] = _matching_set_metric_sql(
         f"{_i} * 1.0 / least(len(a.t), len(b.t))", 0.5)
+
+    # GeneralizedJaccard: the greedy desc-score token assignment is
+    # sequential by nature -> recursive CTE walking candidates in rank
+    # order, carrying used-token arrays. DuckDB's jaro_similarity is
+    # bit-identical to the engine's _jaro_py kernel (verified on a
+    # cross-product corpus; only ('','') differs, which tokens exclude).
+    o["em_generalized_jaccard"] = f"""WITH RECURSIVE {SB},
+{_cnp_sql('sb', 'cnp', 'JS')},
+cnp10 AS (SELECT id1, id2 FROM cnp WHERE id1 % 40 = 0),
+mt_wt AS (
+  SELECT doc_id AS eid,
+         list_sort(list_distinct(list_filter(
+             regexp_split_to_array(lower(substr(text, 1, 60)), '\\s+'),
+             x -> x <> ''))) AS t
+  FROM documents),
+tp AS (
+  SELECT p.id1, p.id2, x.t1, y.t2, jaro_similarity(x.t1, y.t2) AS s
+  FROM cnp10 p
+  JOIN (SELECT eid, unnest(t) AS t1 FROM mt_wt) x ON x.eid = p.id1
+  JOIN (SELECT eid, unnest(t) AS t2 FROM mt_wt) y ON y.eid = p.id2
+  WHERE jaro_similarity(x.t1, y.t2) > 0.5),
+rk AS (
+  SELECT id1, id2, t1, t2, s,
+         row_number() OVER (PARTITION BY id1, id2
+                            ORDER BY s DESC, t1, t2) AS rn
+  FROM tp),
+g AS (
+  SELECT id1, id2, 0 AS rn,
+         CAST([] AS VARCHAR[]) AS u1, CAST([] AS VARCHAR[]) AS u2,
+         CAST(0.0 AS DOUBLE) AS total, 0 AS k
+  FROM (SELECT DISTINCT id1, id2 FROM rk)
+  UNION ALL
+  SELECT g.id1, g.id2, c.rn,
+         CASE WHEN NOT list_contains(g.u1, c.t1)
+               AND NOT list_contains(g.u2, c.t2)
+              THEN list_append(g.u1, c.t1) ELSE g.u1 END,
+         CASE WHEN NOT list_contains(g.u1, c.t1)
+               AND NOT list_contains(g.u2, c.t2)
+              THEN list_append(g.u2, c.t2) ELSE g.u2 END,
+         g.total + CASE WHEN NOT list_contains(g.u1, c.t1)
+                         AND NOT list_contains(g.u2, c.t2)
+                        THEN c.s ELSE 0.0 END,
+         g.k + CASE WHEN NOT list_contains(g.u1, c.t1)
+                     AND NOT list_contains(g.u2, c.t2)
+                    THEN 1 ELSE 0 END
+  FROM g JOIN rk c ON c.id1 = g.id1 AND c.id2 = g.id2 AND c.rn = g.rn + 1),
+gj AS (
+  SELECT id1, id2, total, k FROM (
+    SELECT id1, id2, total, k,
+           row_number() OVER (PARTITION BY id1, id2 ORDER BY rn DESC) AS rr
+    FROM g)
+  WHERE rr = 1),
+gscored AS (
+  SELECT p.id1, p.id2,
+         round(CASE WHEN a.t = b.t THEN 1.0
+               WHEN len(a.t) = 0 OR len(b.t) = 0 THEN 0.0
+               ELSE coalesce(gj.total, 0.0)
+                    / (len(a.t) + len(b.t) - coalesce(gj.k, 0))
+               END, 6) AS sim
+  FROM cnp10 p
+  JOIN mt_wt a ON a.eid = p.id1 JOIN mt_wt b ON b.eid = p.id2
+  LEFT JOIN gj ON gj.id1 = p.id1 AND gj.id2 = p.id2)
+SELECT id1, id2, sim FROM gscored WHERE sim > 0.3"""
 
     def _matching_string_metric_sql(body: str, threshold: float) -> str:
         return f"""WITH {SB},
@@ -1695,8 +1808,8 @@ cblk AS (
 
     o["ccer_blocks"] = f"""WITH {_CTOK}
 SELECT key,
-       sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n1,
-       sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS n2
+       CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
 FROM cblk GROUP BY key"""
 
     o["ccer_pairs_cp"] = f"""WITH {_CTOK}

@@ -19,31 +19,52 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _canon(df):
+    """Canonical cell rendering that is TYPE-SENSITIVE, mirroring the
+    driver's exact-value hash: an int64 11695 and a float 11695.0 must
+    NOT compare equal (the driver hashes them differently)."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    out = pd.DataFrame(index=df.index)
+    for c in cols:
+        s = df[c]
+        if s.dtype.kind == "f":
+            out[c] = s.map(lambda v: "NULL" if pd.isna(v) else repr(float(v)))
+        elif s.dtype.kind in "iu":
+            out[c] = s.map(lambda v: f"i:{int(v)}")
+        elif s.dtype.kind == "b":
+            out[c] = s.map(lambda v: f"b:{bool(v)}")
+        else:
+            # object columns may still hold python ints/floats (duckdb
+            # HUGEINT arrives as object) — keep them type-tagged too
+            def r(v):
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    return "NULL"
+                if isinstance(v, bool):
+                    return f"b:{v}"
+                if isinstance(v, float):
+                    return repr(v)
+                if isinstance(v, int):
+                    return f"i:{v}"
+                return str(v)
+            out[c] = s.map(r)
+    return out.sort_values(cols).reset_index(drop=True)
+
+
 def compare(name, sdf, con, sql):
     s = sdf.toPandas()
     d = con.execute(sql).df()
     if sorted(s.columns) != sorted(d.columns):
         return f"SCHEMA {sorted(s.columns)} vs {sorted(d.columns)}"
-    cols = sorted(s.columns)
-    s, d = s[cols].sort_values(cols).reset_index(drop=True), \
-        d[cols].sort_values(cols).reset_index(drop=True)
     if len(s) != len(d):
         return f"ROWS {len(s)} vs {len(d)}"
-    for c in cols:
+    s, d = _canon(s), _canon(d)
+    for c in s.columns:
         try:
-            if s[c].dtype.kind == "f" or d[c].dtype.kind == "f":
-                import numpy as np
-
-                if not np.allclose(s[c].astype(float), d[c].astype(float),
-                                   atol=1e-9, rtol=0, equal_nan=True):
-                    bad = (s[c].astype(float) - d[c].astype(float)).abs().idxmax()
-                    return (f"VALUES col {c} row {bad}: "
-                            f"{s[c][bad]} vs {d[c][bad]}")
-            else:
-                if not s[c].astype(str).equals(d[c].astype(str)):
-                    neq = s[c].astype(str) != d[c].astype(str)
-                    i = neq.idxmax()
-                    return f"VALUES col {c} row {i}: {s[c][i]} vs {d[c][i]}"
+            if not s[c].equals(d[c]):
+                neq = s[c] != d[c]
+                i = neq.idxmax()
+                return f"VALUES col {c} row {i}: {s[c][i]} vs {d[c][i]}"
         except Exception as ex:
             return f"CMPERR col {c}: {ex}"
     return None
