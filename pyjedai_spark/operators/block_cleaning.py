@@ -20,10 +20,15 @@ def java_math_round(x: float) -> int:
 
 
 def block_cardinalities(postings: DataFrame, dirty: bool = True) -> DataFrame:
-    """(key, block_size, cardinality). DER cardinality = s(s-1)/2
-    (datamodel.py:496-506)."""
+    """(key, block_size, cardinality). DER cardinality = s(s-1)/2;
+    CCER (postings carry ``side``) cardinality = n1*n2
+    (datamodel.py:496-506, both branches)."""
     if not dirty:
-        raise NotImplementedError("CCER cardinality needs per-side sizes")
+        return postings.groupBy("key").agg(
+            F.count("*").alias("block_size"),
+            (F.sum((F.col("side") == 1).cast("long"))
+             * F.sum((F.col("side") == 2).cast("long"))).alias("cardinality"),
+        )
     return postings.groupBy("key").agg(F.count("*").alias("block_size")).withColumn(
         "cardinality",
         (F.col("block_size") * (F.col("block_size") - 1) / 2).cast("long"),
@@ -109,7 +114,20 @@ def block_filtering(postings: DataFrame, ratio: float = 0.8,
     # java_math_round(ratio*n) == floor(ratio*n + 0.5)
     kept = ranked.where(
         F.col("_rn") <= F.floor(F.lit(ratio) * F.col("_n") + F.lit(0.5))
-    ).select("key", "eid")
+    )
+    if not dirty:
+        # CCER validity after the rebuild: a block survives only if BOTH
+        # datasets still contribute (drop_single_entity_blocks CCER branch)
+        kept = kept.select("key", "eid", "side")
+        kw = Window.partitionBy("key")
+        kept = (
+            kept.withColumn("_n1", F.sum((F.col("side") == 1).cast("int")).over(kw))
+            .withColumn("_n2", F.sum((F.col("side") == 2).cast("int")).over(kw))
+            .where((F.col("_n1") >= 1) & (F.col("_n2") >= 1))
+            .select("key", "eid", "side")
+        )
+        return kept
+    kept = kept.select("key", "eid")
     # rebuilt blocks may now be singletons -> drop (block_cleaning.py:97)
     from .block_building import keep_multi_entity_blocks
 

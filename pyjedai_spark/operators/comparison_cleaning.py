@@ -49,7 +49,11 @@ def edge_weights(postings: DataFrame, scheme: str = "CBS",
     per-entity stats are small dims joined afterwards (broadcastable).
     """
     if not dirty:
-        raise NotImplementedError("CCER variant: join D1 postings to D2")
+        # CCER variant: postings carry a ``side`` column; the pair space
+        # is D1 x D2 within each key (operators/ccer.py)
+        from .ccer import ccer_edge_weights
+
+        return ccer_edge_weights(postings, scheme)
     scheme = scheme.upper()
 
     sizes = postings.groupBy("key").agg(F.count("*").alias("bs")).withColumn(

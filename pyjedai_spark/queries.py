@@ -504,17 +504,30 @@ def q_embedding_dedup(spark, sf_dir):
 # ------- no-oracle (rows-only) queries: non-SQL-expressible surfaces
 
 def q_webtext_minhash_clusters(spark, sf_dir):
-    """Synthetic webtext (url/warc_ts/html/text/lang) through the
-    MinHash pipeline; exercises the html->text pandas UDF path."""
-    from .pipeline import minhash_dedup_pipeline
-    from .synth import webtext_df
-
-    docs, _ = webtext_df(spark, n_docs=300, seed=7)
-    docs = docs.drop("text")
+    """Common-Crawl-shaped webtext (url/warc_ts/html/text/lang) through
+    the full pipeline INCLUDING the html->text Arrow pandas UDF: the
+    documents table is wrapped into html bytes, extraction recovers the
+    text byte-identically (the north-rule per-url invariant; testdata
+    text is whitespace-collapsed, so strip-tags+collapse is lossless),
+    then MinHash-LSH -> jaccard verify -> connected components. The
+    oracle replays the same chain from documents.text directly — it
+    matches ONLY if extraction is in fact byte-identical."""
     from .datamodel import extract_text_udf
+    from .pipeline import minhash_dedup_pipeline
 
-    docs = docs.withColumn("text", extract_text_udf(F.col("html")))
-    return minhash_dedup_pipeline(docs, id_col="eid", shingle_size=3,
+    docs = _docs(spark, sf_dir)
+    web = docs.select(
+        F.col("doc_id").alias("eid"),
+        F.concat(F.lit("http://corpus.example/"), F.col("doc_id")).alias("url"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><head><title>d</title></head><body><p>"),
+                     F.col("text"),
+                     F.lit("</p></body></html>")), "utf-8").alias("html"),
+        F.lit("en").alias("lang"),
+    )
+    web = web.withColumn("text", extract_text_udf(F.col("html")))
+    return minhash_dedup_pipeline(web, id_col="eid", shingle_size=3,
                                   jaccard_threshold=0.5)
 
 
@@ -548,6 +561,53 @@ def q_ccer_wep_js(spark, sf_dir):
 
     d1, d2 = _ccer_inputs(spark, sf_dir)
     e = X.ccer_wep(X.ccer_blocking(d1, d2), "JS")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def _ccer_postings(spark, sf_dir):
+    from .operators import ccer as X
+
+    d1, d2 = _ccer_inputs(spark, sf_dir)
+    return X, X.ccer_blocking(d1, d2)
+
+
+def q_ccer_wep_ejs(spark, sf_dir):
+    """The reference's best published CCER configuration: WEP with the
+    EJS scheme on the true D1 x D2 graph (workflow.py:696-716)."""
+    X, p = _ccer_postings(spark, sf_dir)
+    e = X.ccer_wep(p, "EJS")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_ccer_wep_x2(spark, sf_dir):
+    X, p = _ccer_postings(spark, sf_dir)
+    e = X.ccer_wep(p, "X2")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_ccer_cnp_js(spark, sf_dir):
+    X, p = _ccer_postings(spark, sf_dir)
+    e = X.ccer_cnp(p, "JS")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_ccer_rcnp_cncbs(spark, sf_dir):
+    """Reciprocal CNP with the reference's default CN-CBS scheme
+    (incl. the dangling-else counter quirk) on the CCER graph."""
+    X, p = _ccer_postings(spark, sf_dir)
+    e = X.ccer_cnp(p, "CN-CBS", reciprocal=True)
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_ccer_cep_js(spark, sf_dir):
+    X, p = _ccer_postings(spark, sf_dir)
+    e = X.ccer_cep(p, "JS")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
+def q_ccer_blast_x2(spark, sf_dir):
+    X, p = _ccer_postings(spark, sf_dir)
+    e = X.ccer_blast(p, "X2")
     return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
 
 
@@ -654,7 +714,9 @@ def q_markov_clustering(spark, sf_dir):
 
 
 def q_ccer_unique_mapping(spark, sf_dir):
-    m = _ccer_matches(spark, sf_dir)
+    """CCER UMC. Edge set thinned 8x (id1 % 8 = 0) so the oracle's
+    sequential recursive-CTE greedy stays tractable."""
+    m = _ccer_matches(spark, sf_dir).where(F.col("id1") % 8 == 0)
     return CL.unique_mapping_clustering(m, similarity_threshold=0.55,
                                         weight_col="sim")
 
@@ -676,9 +738,12 @@ def q_video_frame_sample(spark, sf_dir):
 
 
 def q_unique_mapping(spark, sf_dir):
+    """UMC greedy 1-1 matching. Pair set thinned 8x (id1 % 8 = 0) so the
+    DuckDB oracle's sequential recursive-CTE scan stays tractable."""
     docs = _docs(spark, sf_dir)
     p = BB.standard_blocking(docs)
     cands = CC.cardinality_node_pruning(p, "JS", num_entities=docs.count())
+    cands = cands.where(F.col("id1") % 8 == 0)
     m = M.entity_matching(cands.select("id1", "id2"), docs, metric="cosine",
                           similarity_threshold=0.55, round_to=6)
     return CL.unique_mapping_clustering(m, similarity_threshold=0.55,
@@ -973,6 +1038,12 @@ QUERIES = {
     "ccer_em_cosine": q_ccer_em_cosine,
     "ccer_ccc": q_ccer_ccc,
     "ccer_unique_mapping": q_ccer_unique_mapping,
+    "ccer_wep_ejs": q_ccer_wep_ejs,
+    "ccer_wep_x2": q_ccer_wep_x2,
+    "ccer_cnp_js": q_ccer_cnp_js,
+    "ccer_rcnp_cncbs": q_ccer_rcnp_cncbs,
+    "ccer_cep_js": q_ccer_cep_js,
+    "ccer_blast_x2": q_ccer_blast_x2,
     "markov_clustering": q_markov_clustering,
     "embeddings_nn_bpm": q_embeddings_nn_bpm,
     "topk_join_pm": q_topk_join_pm,
@@ -1191,6 +1262,59 @@ SELECT id1, id2, jaccard FROM (
          AS jaccard
   FROM cand c JOIN hx x ON x.eid = c.id1 JOIN hx y ON y.eid = c.id2)
 WHERE jaccard >= 0.5"""
+
+    # webtext pipeline: html-wrap -> extract (byte-identical) -> minhash
+    # chain == the plain-text chain; CC to the component minimum
+    o["webtext_minhash_clusters"] = f"""WITH RECURSIVE {_tokhash_sql(3)},
+{_minhash_sig_sql(32)},
+{_bands_sql(8, 4)},
+wcand AS (
+  SELECT DISTINCT a.eid AS id1, b.eid AS id2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.eid < b.eid),
+wver AS (
+  SELECT id1, id2 FROM (
+    SELECT c.id1, c.id2,
+           round(len(list_intersect(x.sl, y.sl)) * 1.0
+                 / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl))), 6)
+           AS jaccard
+    FROM wcand c JOIN hx x ON x.eid = c.id1 JOIN hx y ON y.eid = c.id2)
+  WHERE jaccard >= 0.5),
+{_cc_sql('wver')}
+SELECT u AS eid, min(v) AS cluster_id FROM reach GROUP BY u"""
+
+    # UMC greedy 1-1 matching: sequential desc-weight scan -> recursive
+    # CTE walking edges in the reference's (1-w, id1, id2) PQ order,
+    # carrying the matched-vertex set
+    o["unique_mapping"] = f"""WITH RECURSIVE {SB},
+{_cnp_sql('sb', 'cnp', 'JS')},
+cnp8 AS (SELECT id1, id2 FROM cnp WHERE id1 % 8 = 0),
+{_matching_cosine_sql('cnp8', 0.55, 'umt')},
+umr AS MATERIALIZED (
+  SELECT id1, id2, sim,
+         row_number() OVER (ORDER BY (1.0 - sim), id1, id2) AS rn
+  FROM umt),
+umg AS (
+  SELECT 0 AS rn, CAST([] AS BIGINT[]) AS matched,
+         CAST(NULL AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2,
+         CAST(NULL AS DOUBLE) AS mw
+  UNION ALL
+  SELECT r.rn,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN g.matched
+              ELSE list_append(list_append(g.matched, r.id1), r.id2) END,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN NULL ELSE r.id1 END,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN NULL ELSE r.id2 END,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN NULL ELSE r.sim END
+  FROM umg g JOIN umr r ON r.rn = g.rn + 1)
+SELECT m1 AS id1, m2 AS id2, mw AS weight FROM umg WHERE m1 IS NOT NULL"""
 
     o["simhash_signatures"] = f"""WITH {_simhash_sql()}
 SELECT eid AS doc_id, simhash FROM sims"""
@@ -1580,7 +1704,7 @@ tp AS (
   JOIN (SELECT eid, unnest(t) AS t1 FROM mt_wt) x ON x.eid = p.id1
   JOIN (SELECT eid, unnest(t) AS t2 FROM mt_wt) y ON y.eid = p.id2
   WHERE jaro_similarity(x.t1, y.t2) > 0.5),
-rk AS (
+rk AS MATERIALIZED (
   SELECT id1, id2, t1, t2, s,
          row_number() OVER (PARTITION BY id1, id2
                             ORDER BY s DESC, t1, t2) AS rn
@@ -1833,6 +1957,129 @@ cwep AS (
     o["ccer_wep_js"] = f"""WITH {_CWEP}
 SELECT id1, id2, round(w, 6) AS weight FROM cwep"""
 
+    # shared CCER edge scaffolding: per-block side counts, per-entity
+    # block counts, distinct D1 x D2 pairs with the CBS / CN / SN
+    # counters (the CN quirk: 1/card accumulated AND +1 per block)
+    _CED = f"""{_CTOK},
+ckst AS (
+  SELECT key,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS kb1,
+         sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS kb2
+  FROM cblk GROUP BY key),
+cnb AS (SELECT eid, count(*) AS nb FROM cblk GROUP BY eid),
+cpr AS MATERIALIZED (
+  SELECT a.eid AS id1, b.eid AS id2, count(*) AS cbs,
+         sum(1.0 / (k.kb1 * k.kb2)) AS inv_card,
+         sum(1.0 / (k.kb1 + k.kb2)) AS inv_size
+  FROM cblk a JOIN cblk b ON a.key = b.key AND a.side = 1 AND b.side = 2
+  JOIN ckst k ON k.key = a.key
+  GROUP BY 1, 2)"""
+
+    _CJS = """cjs AS (
+  SELECT p.id1, p.id2, p.cbs,
+         CAST(p.cbs AS DOUBLE) / (n1.nb + n2.nb - p.cbs) AS w
+  FROM cpr p JOIN cnb n1 ON n1.eid = p.id1 JOIN cnb n2 ON n2.eid = p.id2)"""
+
+    o["ccer_wep_ejs"] = f"""WITH {_CED},
+{_CJS},
+ccmp1 AS (SELECT id1, CAST(count(*) AS DOUBLE) AS c FROM cpr GROUP BY id1),
+ccmp2 AS (SELECT id2, CAST(count(*) AS DOUBLE) AS c FROM cpr GROUP BY id2),
+cdd AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM cpr),
+cwe AS (
+  SELECT j.id1, j.id2,
+         j.w * log10(cdd.d / c1.c) * log10(cdd.d / c2.c) AS w
+  FROM cjs j JOIN ccmp1 c1 ON c1.id1 = j.id1
+  JOIN ccmp2 c2 ON c2.id2 = j.id2, cdd)
+SELECT id1, id2, round(w, 6) AS weight FROM cwe
+WHERE w >= (SELECT avg(w) FROM cwe) - {EPS}"""
+
+    def _chi2_sql(o11: str, o12: str, o21: str, o22: str) -> str:
+        tot = f"({o11}+{o12}+{o21}+{o22})"
+        def term(o, r, c):
+            return (f"(CASE WHEN ({r})*({c}) <> 0 THEN "
+                    f"(({o}) - ({r})*({c})/{tot}) * (({o}) - ({r})*({c})/{tot})"
+                    f" / (({r})*({c})/{tot}) ELSE 0 END)")
+        r1, r2 = f"({o11}+{o12})", f"({o21}+{o22})"
+        c1, c2 = f"({o11}+{o21})", f"({o12}+{o22})"
+        return (term(o11, r1, c1) + "\n       + " + term(o12, r1, c2)
+                + "\n       + " + term(o21, r2, c1)
+                + "\n       + " + term(o22, r2, c2))
+
+    _CX2 = f"""cnblk AS (SELECT CAST(count(DISTINCT key) AS DOUBLE) AS n FROM cblk),
+ccells AS (
+  SELECT p.id1, p.id2,
+         CAST(p.cbs AS DOUBLE) AS o11,
+         CAST(n1.nb - p.cbs AS DOUBLE) AS o12,
+         CAST(n2.nb - p.cbs AS DOUBLE) AS o21,
+         cnblk.n - n1.nb + p.cbs AS o22
+  FROM cpr p JOIN cnb n1 ON n1.eid = p.id1
+  JOIN cnb n2 ON n2.eid = p.id2, cnblk),
+cx2 AS (
+  SELECT id1, id2,
+         {_chi2_sql('o11', 'o12', 'o21', 'o22')} AS w
+  FROM ccells)"""
+
+    o["ccer_wep_x2"] = f"""WITH {_CED},
+{_CX2}
+SELECT id1, id2, round(w, 6) AS weight FROM cx2
+WHERE w >= (SELECT avg(w) FROM cx2) - {EPS}"""
+
+    # k = int(max(1, block_assignments / num_entities)) — floor for >= 1
+    _CK = """ck AS (
+  SELECT greatest(1, CAST(floor(
+      (SELECT count(*) FROM cblk) * 1.0
+      / (SELECT count(DISTINCT eid) FROM cblk)) AS BIGINT)) AS kv)"""
+
+    def _ccer_cnp_sql(edge_cte: str, edge_name: str, reciprocal: bool) -> str:
+        keep = ("r.ru IS NOT NULL AND t.u_side = 1" if reciprocal
+                else "r.ru IS NULL OR t.u_side = 1")
+        return f"""WITH {_CED},
+{edge_cte},
+{_CK},
+cbidir AS (
+  SELECT id1 AS u, id2 AS v, 1 AS u_side, w FROM {edge_name}
+  UNION ALL SELECT id2, id1, 2, w FROM {edge_name}),
+cnear AS MATERIALIZED (
+  SELECT u, v, u_side, w FROM (
+    SELECT u, v, u_side, w,
+           row_number() OVER (PARTITION BY u ORDER BY w DESC, v DESC) AS rn
+    FROM cbidir)
+  WHERE rn <= (SELECT kv FROM ck)),
+cval AS (
+  SELECT t.u, t.v, t.u_side, t.w
+  FROM cnear t LEFT JOIN (SELECT u AS ru, v AS rv FROM cnear) r
+    ON r.ru = t.v AND r.rv = t.u
+  WHERE {keep})
+SELECT id1, id2, round(max(w), 6) AS weight FROM (
+  SELECT CASE WHEN u_side = 1 THEN u ELSE v END AS id1,
+         CASE WHEN u_side = 1 THEN v ELSE u END AS id2, w
+  FROM cval)
+GROUP BY id1, id2"""
+
+    o["ccer_cnp_js"] = _ccer_cnp_sql(_CJS, "cjs", reciprocal=False)
+
+    _CCN = """ccn AS (
+  SELECT id1, id2, inv_card + cbs AS w FROM cpr)"""
+    o["ccer_rcnp_cncbs"] = _ccer_cnp_sql(_CCN, "ccn", reciprocal=True)
+
+    o["ccer_cep_js"] = f"""WITH {_CED},
+{_CJS}
+SELECT id1, id2, round(w, 6) AS weight FROM (
+  SELECT id1, id2, w,
+         row_number() OVER (ORDER BY w DESC, id2 DESC, id1 DESC) AS rn
+  FROM cjs)
+WHERE rn <= (SELECT CAST(floor(count(*) / 2) AS BIGINT) FROM cblk)"""
+
+    o["ccer_blast_x2"] = f"""WITH {_CED},
+{_CX2},
+cbm AS (
+  SELECT node, max(w) AS mx FROM (
+    SELECT id1 AS node, w FROM cx2 UNION ALL SELECT id2, w FROM cx2)
+  GROUP BY node)
+SELECT x.id1, x.id2, round(x.w, 6) AS weight
+FROM cx2 x JOIN cbm m1 ON m1.node = x.id1 JOIN cbm m2 ON m2.node = x.id2
+WHERE x.w >= (m1.mx + m2.mx) / 4 - {EPS}"""
+
     _CMATCH = f"""{_CWEP},
 cm_wt AS (
   SELECT doc_id AS eid,
@@ -1852,6 +2099,35 @@ cmt AS (
 
     o["ccer_em_cosine"] = f"""WITH {_CMATCH}
 SELECT id1, id2, sim FROM cmt"""
+
+    # CCER UniqueMapping: the same sequential greedy as Dirty-ER UMC —
+    # recursive CTE over (1-w, id1, id2) PQ order
+    o["ccer_unique_mapping"] = f"""WITH RECURSIVE {_CMATCH},
+cumr AS MATERIALIZED (
+  SELECT id1, id2, sim,
+         row_number() OVER (ORDER BY (1.0 - sim), id1, id2) AS rn
+  FROM cmt WHERE sim > 0.55 AND id1 % 8 = 0),
+cumg AS (
+  SELECT 0 AS rn, CAST([] AS BIGINT[]) AS matched,
+         CAST(NULL AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2,
+         CAST(NULL AS DOUBLE) AS mw
+  UNION ALL
+  SELECT r.rn,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN g.matched
+              ELSE list_append(list_append(g.matched, r.id1), r.id2) END,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN NULL ELSE r.id1 END,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN NULL ELSE r.id2 END,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN NULL ELSE r.sim END
+  FROM cumg g JOIN cumr r ON r.rn = g.rn + 1)
+SELECT m1 AS id1, m2 AS id2, mw AS weight FROM cumg WHERE m1 IS NOT NULL"""
 
     o["ccer_ccc"] = f"""WITH RECURSIVE {_CMATCH},
 cbidir AS (

@@ -98,8 +98,13 @@ class BlockingBasedWorkFlow:
 
     @classmethod
     def best_ccer(cls) -> "BlockingBasedWorkFlow":
-        """Reference best CCER config (workflow.py:696-716); CCER stages
-        run through operators.ccer + UniqueMapping."""
+        """Reference best CCER config (workflow.py:696-716). Run it with
+        TWO datasets — ``wf.run(d1, d2=d2)`` — and every stage executes
+        on the true D1 x D2 space (operators/ccer.py: both-sides block
+        validity, CCER cardinalities, CCER WEP(EJS), UniqueMapping).
+        Called with one dataset it degrades to the Dirty-ER
+        approximation and the reference's UMC precondition (CCER-only,
+        clustering.py:484-486) is not honored — pass d2."""
         return cls(
             block_building={"method": "standard_blocking"},
             block_cleaning=[
@@ -123,20 +128,40 @@ class BlockingBasedWorkFlow:
         self.steps.append(rec)
 
     def run(self, docs: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text", gt: DataFrame | None = None) -> DataFrame:
+            text_col: str = "text", gt: DataFrame | None = None,
+            d2: DataFrame | None = None) -> DataFrame:
+        """Execute the workflow. Dirty-ER on one dataset; pass ``d2``
+        for Clean-Clean ER — blocking, cleaning, meta-blocking and
+        clustering then run on the true D1 x D2 space (entity ids must
+        be disjoint across the two inputs)."""
+        from .operators import ccer as X
+
         spark = docs.sparkSession
         ck = (CheckpointManager(self.checkpoint_dir)
               if self.checkpoint_dir else CheckpointManager("", enabled=False))
         self.steps = []
-        num_entities = docs.count()
+        is_ccer = d2 is not None
+        all_docs = docs.unionByName(d2) if is_ccer else docs
+
+        def stage_pairs(p):
+            return X.ccer_pairs(p) if is_ccer else BB.block_pairs(p)
 
         # block building
         t0 = time.time()
         bb = dict(self.block_building)
-        fn = BLOCK_BUILDERS[bb["method"]]
-        postings = ck.stage(spark, "blocking", lambda: fn(
-            docs, id_col=id_col, text_col=text_col, **bb.get("params", {})))
-        self._record(bb["method"], postings, BB.block_pairs(postings), gt, t0)
+        if is_ccer:
+            if bb["method"] != "standard_blocking":
+                raise ValueError(
+                    "CCER workflow supports standard_blocking (the "
+                    "reference's best-CCER block builder)")
+            postings = ck.stage(spark, "blocking", lambda: X.ccer_blocking(
+                docs, d2, id_col=id_col, text_col=text_col,
+                **bb.get("params", {})))
+        else:
+            fn = BLOCK_BUILDERS[bb["method"]]
+            postings = ck.stage(spark, "blocking", lambda: fn(
+                docs, id_col=id_col, text_col=text_col, **bb.get("params", {})))
+        self._record(bb["method"], postings, stage_pairs(postings), gt, t0)
 
         # block cleaning (0..n)
         for step in self.block_cleaning or []:
@@ -144,8 +169,9 @@ class BlockingBasedWorkFlow:
             fn = BLOCK_CLEANERS[step["method"]]
             postings = ck.stage(
                 spark, step["method"],
-                lambda fn=fn, p=postings, s=step: fn(p, **s.get("params", {})))
-            self._record(step["method"], postings, BB.block_pairs(postings),
+                lambda fn=fn, p=postings, s=step: fn(
+                    p, dirty=not is_ccer, **s.get("params", {})))
+            self._record(step["method"], postings, stage_pairs(postings),
                          gt, t0)
 
         # comparison cleaning
@@ -153,17 +179,19 @@ class BlockingBasedWorkFlow:
         if self.comparison_cleaning:
             t0 = time.time()
             cc = dict(self.comparison_cleaning)
+            dispatch = (X.get_ccer_meta_blocking if is_ccer
+                        else CC.get_meta_blocking_approach)
             pairs = ck.stage(
                 spark, "comparison_cleaning",
-                lambda: CC.get_meta_blocking_approach(
+                lambda: dispatch(
                     cc["method"], postings, cc.get("params", {}).get("scheme"),
                     **{k: v for k, v in cc.get("params", {}).items()
                        if k != "scheme"}))
             self._record(cc["method"], pairs, pairs, gt, t0)
         else:
-            pairs = BB.block_pairs(postings)
+            pairs = stage_pairs(postings)
 
-        # matching
+        # matching — docs projection spans BOTH datasets in CCER mode
         matches = None
         if self.entity_matching:
             t0 = time.time()
@@ -171,12 +199,12 @@ class BlockingBasedWorkFlow:
             params = dict(em.get("params", {}))
             if em["method"] == "entity_matching":
                 matches = ck.stage(spark, "matching", lambda: M.entity_matching(
-                    pairs.select("id1", "id2"), docs, id_col=id_col,
+                    pairs.select("id1", "id2"), all_docs, id_col=id_col,
                     text_col=text_col, round_to=6, **params))
             elif em["method"] == "tfidf_cosine":
                 matches = ck.stage(spark, "matching",
                                    lambda: M.tfidf_cosine_matching(
-                                       pairs.select("id1", "id2"), docs,
+                                       pairs.select("id1", "id2"), all_docs,
                                        id_col=id_col, text_col=text_col,
                                        **params))
             else:
@@ -190,10 +218,19 @@ class BlockingBasedWorkFlow:
             cl = dict(self.clustering)
             params = dict(cl.get("params", {}))
             if cl["method"] == "connected_components":
-                result = CL.connected_components_clustering(
-                    matches if matches is not None else pairs.withColumn(
-                        "sim", F.lit(1.0)),
-                    nodes=docs.select(F.col(id_col).alias("eid")), **params)
+                edges = (matches if matches is not None
+                         else pairs.withColumn("sim", F.lit(1.0)))
+                nodes = all_docs.select(F.col(id_col).alias("eid"))
+                if is_ccer:
+                    # CCER CC keeps only 2-element clusters
+                    # (clustering.py:466-467)
+                    thr = params.pop("similarity_threshold", None)
+                    if thr is not None:
+                        edges = edges.where(F.col("sim") > thr)
+                    result = X.ccc_size2(edges.select("id1", "id2"), nodes)
+                else:
+                    result = CL.connected_components_clustering(
+                        edges, nodes=nodes, **params)
                 out_pairs = CL.clusters_to_pairs(result)
             else:
                 fn = CLUSTERERS[cl["method"]]

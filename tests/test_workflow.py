@@ -30,6 +30,47 @@ def test_best_ccer_workflow_runs(spark):
     assert {"id1", "id2", "weight"} <= set(out.columns)
 
 
+def test_best_ccer_two_dataset(spark):
+    """best_ccer with d2 runs true CCER: every match crosses the
+    dataset boundary, the 1-1 UMC invariant holds, and every stage of
+    the reference's best-CCER chain is recorded."""
+    docs, _ = webtext_df(spark, n_docs=200, seed=23)
+    d1 = docs.where("eid % 2 = 0")
+    d2 = docs.where("eid % 2 = 1")
+    wf = BlockingBasedWorkFlow.best_ccer()
+    out = wf.run(d1, id_col="eid", d2=d2)
+    rows = out.collect()
+    assert rows, "CCER workflow matched nothing on a near-dup corpus"
+    ids1 = [r["id1"] for r in rows]
+    ids2 = [r["id2"] for r in rows]
+    assert all(i % 2 == 0 for i in ids1)  # side 1 = even ids
+    assert all(i % 2 == 1 for i in ids2)  # side 2 = odd ids
+    assert len(set(ids1)) == len(ids1) and len(set(ids2)) == len(ids2)
+    stages = [s["stage"] for s in wf.steps]
+    assert stages == ["standard_blocking", "block_filtering", "WEP",
+                      "tfidf_cosine", "unique_mapping"]
+
+
+def test_ccer_workflow_connected_components_size2(spark):
+    """CCER + connected_components routes to the size-2-only CCC."""
+    docs, _ = webtext_df(spark, n_docs=150, seed=29)
+    d1 = docs.where("eid % 2 = 0")
+    d2 = docs.where("eid % 2 = 1")
+    wf = BlockingBasedWorkFlow(
+        block_building={"method": "standard_blocking"},
+        block_cleaning=[{"method": "block_filtering", "params": {"ratio": 0.9}}],
+        comparison_cleaning={"method": "CNP", "params": {"scheme": "JS"}},
+        entity_matching={"method": "entity_matching",
+                         "params": {"metric": "cosine",
+                                    "similarity_threshold": 0.55}},
+        clustering={"method": "connected_components"},
+        name="ccer-ccc",
+    )
+    out = wf.run(d1, id_col="eid", d2=d2)
+    sizes = out.groupBy("cluster_id").count().select("count").distinct().collect()
+    assert all(r["count"] == 2 for r in sizes)  # CCER CC keeps only pairs
+
+
 def test_progressive_workflow_budget(spark):
     docs, _ = webtext_df(spark, n_docs=150, seed=19)
     pw = ProgressiveWorkFlow(budget=50, method="TOP", scheme="CBS")
