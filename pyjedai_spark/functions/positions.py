@@ -43,6 +43,13 @@ def with_global_position(df: DataFrame, order_cols, pos_col: str = "pos",
         "_gp_pid", F.spark_partition_id())
     wloc = Window.partitionBy("_gp_pid").orderBy(*order_cols)
     local = ranged.withColumn("_gp_lrn", F.row_number().over(wloc) - 1)
+    # MATERIALIZE HERE, not at the end: `local` feeds two plan branches
+    # (the per-partition counts and the output join). spark_partition_id
+    # is nondeterministic to Catalyst, and when exchange reuse does not
+    # kick in each branch would re-run repartitionByRange with FRESHLY
+    # sampled boundaries — counts from one partitioning, ranks from
+    # another, garbage positions. One checkpoint = one sampling.
+    local = local.localCheckpoint(eager=True)
     counts = local.groupBy("_gp_pid").agg(F.count("*").alias("_gp_cnt"))
     # cumulative offsets: |partitions| rows — a driver-scale window
     woff = Window.orderBy("_gp_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -50,14 +57,12 @@ def with_global_position(df: DataFrame, order_cols, pos_col: str = "pos",
         "_gp_pid",
         F.coalesce(F.sum("_gp_cnt").over(woff), F.lit(0)).alias("_gp_off"),
     )
-    out = (
+    # downstream consumers (e.g. the +w self-join in sorted
+    # neighborhood) re-derive this join per branch, but from the
+    # checkpointed `local` blocks the result is deterministic — no
+    # second materialization needed.
+    return (
         local.join(F.broadcast(offsets), "_gp_pid")
         .withColumn(pos_col, F.col("_gp_off") + F.col("_gp_lrn"))
         .drop("_gp_pid", "_gp_lrn", "_gp_off")
     )
-    # spark_partition_id() is NONDETERMINISTIC to Catalyst: two plan
-    # branches referencing this result (e.g. the +w/-w self-join in
-    # sorted-neighborhood) would re-sample range boundaries per branch
-    # and disagree on positions. Materialize once — also the "stage
-    # boundary" pattern that keeps downstream self-join lineage flat.
-    return out.localCheckpoint(eager=True)

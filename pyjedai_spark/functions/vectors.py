@@ -217,6 +217,60 @@ def brute_force_topk(vectors: DataFrame, k: int = 10,
     )
 
 
+def hashing_trick_embedding(docs: DataFrame, dim: int = 64, qgram: int = 3,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Deterministic text -> embedding encoder (the public hashing-trick
+    / signed char-ngram projection, Weinberger et al. ICML'09): each
+    lowercased char q-gram hashes to a coordinate (portable md5-prefix
+    u32, % dim) with a +/-1 sign (next hash bit); the vector is the
+    l2-normalized signed count histogram.
+
+    Replaces the reference's external encoders (gensim/BERT,
+    vector_based_blocking.py:61-504) with a dependency-free projection
+    whose arithmetic an ANSI-SQL oracle reproduces EXACTLY (cell values
+    are integer counts before the normalize, so summation order cannot
+    perturb them). Feeds lsh_topk / embedding_cosine_dedup end-to-end
+    from a text column. Returns (vec_id, embedding array<double>).
+    """
+    from . import text as T
+
+    grams = docs.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(T.char_qgrams(F.col(text_col), qgram, distinct=False))
+        .alias("g"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+    cell = grams.select(
+        "vec_id",
+        (h % dim).cast("int").alias("idx"),
+        F.when(F.floor(h / dim) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        .alias("s"),
+    ).groupBy("vec_id", "idx").agg(F.sum("s").alias("val"))
+    dense = cell.groupBy("vec_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "val"))).alias("m"))
+    raw = dense.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.coalesce(F.element_at(F.col("m"),
+                                                      i.cast("int")),
+                                         F.lit(0.0)))
+        .alias("rawv"),
+    )
+    # docs with no q-grams (len < q) keep an all-zero vector
+    all_ids = docs.select(F.col(id_col).alias("vec_id"))
+    zero = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                       lambda i: F.lit(0.0))
+    raw = all_ids.join(raw, "vec_id", "left").select(
+        "vec_id", F.coalesce("rawv", zero).alias("rawv"))
+    nrm = _norm(F.col("rawv"))
+    return raw.select(
+        "vec_id",
+        F.when(nrm == 0, F.col("rawv")).otherwise(
+            F.transform("rawv", lambda x: x / nrm)).alias("embedding"),
+    )
+
+
 def sign_lsh_bucket(vec_col, dims: list[int] | None = None):
     """Single-band coordinate-sign bucket (the round-1 family) — kept
     for tests/back-compat; superseded by ``band_bucket_exprs`` (more

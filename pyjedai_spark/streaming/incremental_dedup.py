@@ -43,14 +43,30 @@ def _band_table(docs: DataFrame, k: int, bands: int, shingle_size: int,
         F.concat_ws("|", "band_idx", "band_hash").alias("key"), "eid")
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence via the Hadoop FileSystem API — works for ANY
+    configured filesystem (hdfs/s3a/local), unlike os.path, which only
+    sees the driver's local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def process_increment(new_docs: DataFrame, state_dir: str,
                       pairs_dir: str, threshold: float = 0.5,
                       k: int = 32, bands: int = 8, shingle_size: int = 3,
                       id_col: str = "doc_id", text_col: str = "text",
-                      docs_store_dir: str | None = None) -> None:
+                      docs_store_dir: str | None = None,
+                      batch_id: int = 0) -> None:
     """One micro-batch: emit (new x seen) + (new x new) near-dup pairs,
-    then fold the batch into the signature store. Idempotent per batch
-    directory layout; called from foreachBatch."""
+    then fold the batch into the signature store.
+
+    IDEMPOTENT under Structured Streaming retries: every output lands in
+    a ``batch_id=N`` partition written with OVERWRITE, and state reads
+    filter to ``batch_id < N`` — so a batch that failed between writes
+    and re-runs replaces its own partial output instead of appending a
+    duplicate, and never sees its own half-written state."""
     spark = new_docs.sparkSession
     new_docs = new_docs.localCheckpoint()  # pin the micro-batch
     nb = _band_table(new_docs, k, bands, shingle_size, id_col,
@@ -58,7 +74,14 @@ def process_increment(new_docs: DataFrame, state_dir: str,
 
     store_path = os.path.join(state_dir, "bands")
     docs_path = docs_store_dir or os.path.join(state_dir, "docs")
-    have_state = os.path.exists(store_path)
+
+    def read_prior(path: str) -> DataFrame | None:
+        """State from strictly-earlier batches (batch_id partition
+        column via parquet partition discovery)."""
+        if not _fs_exists(spark, path):
+            return None
+        df = spark.read.option("basePath", path).parquet(path)
+        return df.where(F.col("batch_id") < batch_id).drop("batch_id")
 
     # candidates: (store ∪ new) x new, canonicalized — a pair is emitted
     # exactly once, in the micro-batch where its LATEST member arrived
@@ -66,8 +89,8 @@ def process_increment(new_docs: DataFrame, state_dir: str,
     # NOT arrival order, so canonicalize with least/greatest rather than
     # an id-directional join.
     probe = nb.select("key", F.col("eid").alias("b"))
-    if have_state:
-        seen = spark.read.parquet(store_path)
+    seen = read_prior(store_path)
+    if seen is not None:
         base = seen.select("key", F.col("eid").alias("a")).union(
             nb.select("key", F.col("eid").alias("a")))
     else:
@@ -81,17 +104,20 @@ def process_increment(new_docs: DataFrame, state_dir: str,
     )
 
     # verify against full shingle sets: old docs read from the doc store
-    if have_state and os.path.exists(docs_path):
-        all_docs = spark.read.parquet(docs_path).unionByName(
+    prior_docs = read_prior(docs_path)
+    if prior_docs is not None:
+        all_docs = prior_docs.select(id_col, text_col).unionByName(
             new_docs.select(id_col, text_col))
     else:
         all_docs = new_docs.select(id_col, text_col)
     verified = DD.jaccard_verify(cands, all_docs, threshold, shingle_size,
                                  id_col, text_col)
 
-    verified.write.mode("append").parquet(pairs_dir)
-    nb.write.mode("append").parquet(store_path)
-    new_docs.select(id_col, text_col).write.mode("append").parquet(docs_path)
+    part = f"batch_id={batch_id}"
+    verified.write.mode("overwrite").parquet(os.path.join(pairs_dir, part))
+    nb.write.mode("overwrite").parquet(os.path.join(store_path, part))
+    new_docs.select(id_col, text_col).write.mode("overwrite").parquet(
+        os.path.join(docs_path, part))
 
 
 def start_incremental_dedup(spark: SparkSession, input_dir: str,
@@ -123,7 +149,8 @@ def start_incremental_dedup(spark: SparkSession, input_dir: str,
         if batch_df.isEmpty():
             return
         process_increment(batch_df, state_dir, pairs_dir, threshold,
-                          k, bands, shingle_size, id_col, text_col)
+                          k, bands, shingle_size, id_col, text_col,
+                          batch_id=batch_id)
 
     writer = stream.writeStream.foreachBatch(batch_fn).option(
         "checkpointLocation", ckpt_dir)

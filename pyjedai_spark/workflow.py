@@ -252,18 +252,27 @@ class BlockingBasedWorkFlow:
 @dataclass
 class ProgressiveWorkFlow:
     """workflow.py:231-356: optional blocking/cleaning, then budgeted
-    emission of scored pairs (HB/DFS/BFS/TOP)."""
+    emission of scored pairs (HB/DFS/BFS/TOP). With ``gt`` the run
+    reports the progressive headline metrics — cumulative-recall AUC
+    (reference evaluation.py:298-368) — in ``self.metrics``."""
 
     budget: int = 1000
     method: str = "HB"
     scheme: str = "CBS"
     block_cleaning: list | None = None
+    metrics: dict = field(default_factory=dict, init=False)
 
     def run(self, docs: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
+            text_col: str = "text", gt: DataFrame | None = None) -> DataFrame:
         postings = BB.standard_blocking(docs, id_col=id_col, text_col=text_col)
         for step in self.block_cleaning or []:
             fn = BLOCK_CLEANERS[step["method"]]
             postings = fn(postings, **step.get("params", {}))
         postings = postings.localCheckpoint()
-        return PR.pes(postings, self.budget, self.scheme, self.method)
+        emitted = PR.pes(postings, self.budget, self.scheme, self.method)
+        if gt is not None:
+            from .evaluation import progressive_auc
+
+            emitted = emitted.localCheckpoint()
+            self.metrics = progressive_auc(emitted, gt).first().asDict()
+        return emitted

@@ -126,3 +126,39 @@ def test_incremental_dedup_finds_cross_batch_pairs(spark):
         assert got == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_process_increment_retry_idempotent(spark):
+    """Structured Streaming re-runs a failed batch with the SAME
+    batch_id: re-invoking process_increment must replace the batch's
+    output, not duplicate pairs/signatures/docs."""
+    import shutil
+    import tempfile
+
+    from pyjedai_spark.streaming.incremental_dedup import process_increment
+    from pyjedai_spark.synth import generate_webtext
+
+    work = tempfile.mkdtemp(prefix="incretry_")
+    try:
+        rows, _ = generate_webtext(n_docs=120, seed=31, dup_fraction=0.4)
+        docs = spark.createDataFrame(
+            [(r["eid"], r["text"]) for r in rows], "doc_id long, text string")
+        b0 = docs.where("doc_id < 60")
+        b1 = docs.where("doc_id >= 60")
+        state = work + "/state"
+        pairs = work + "/pairs"
+
+        process_increment(b0, state, pairs, threshold=0.5, batch_id=0)
+        process_increment(b0, state, pairs, threshold=0.5, batch_id=0)  # retry
+        process_increment(b1, state, pairs, threshold=0.5, batch_id=1)
+        process_increment(b1, state, pairs, threshold=0.5, batch_id=1)  # retry
+
+        got = spark.read.parquet(pairs).select("id1", "id2")
+        assert got.count() == got.distinct().count(), "retry duplicated pairs"
+
+        from pyjedai_spark.operators import dedup as DD
+        want = {(r["id1"], r["id2"]) for r in DD.minhash_dedup_pairs(
+            docs, threshold=0.5, shingle_size=3).collect()}
+        assert {(r["id1"], r["id2"]) for r in got.collect()} == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

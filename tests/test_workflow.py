@@ -71,6 +71,15 @@ def test_ccer_workflow_connected_components_size2(spark):
     assert all(r["count"] == 2 for r in sizes)  # CCER CC keeps only pairs
 
 
+def test_progressive_workflow_reports_auc(spark):
+    docs, gt = webtext_df(spark, n_docs=150, seed=19)
+    pw = ProgressiveWorkFlow(budget=100, method="HB", scheme="CBS")
+    pw.run(docs, id_col="eid", gt=gt)
+    assert {"total_emissions", "tps_found", "auc"} <= set(pw.metrics)
+    assert pw.metrics["total_emissions"] == 100
+    assert 0.0 <= pw.metrics["auc"] <= 1.0
+
+
 def test_progressive_workflow_budget(spark):
     docs, _ = webtext_df(spark, n_docs=150, seed=19)
     pw = ProgressiveWorkFlow(budget=50, method="TOP", scheme="CBS")
