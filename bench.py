@@ -37,12 +37,35 @@ HEADLINE = [
     "minhash_near_dup",
     "simhash_pairs",
     "substring_dedup",
-    "ejoin_cosine",
+    "ejoin_cosine_zipf",
     "meta_cnp_cleaned",
     "gpsn_acf",
     "ann_topk",
     "exact_dedup",
 ]
+
+
+def _ejoin_cosine_zipf(spark, sf_dir):
+    """Bench-only ε-join corpus: synthetic webtext with a 20k-token
+    Zipfian vocabulary (synth.generate_webtext(vocab_size=20000)), the
+    long-tail regime real webtext has — so this entry measures the
+    AllPairs prefix filter, not dense-result materialization (the
+    56-word testdata vocabulary makes most pairs genuinely similar; the
+    registry's oracle-gated `ejoin_cosine` still runs on testdata,
+    unchanged). Same operator, default threshold."""
+    from pyjedai_spark.operators import joins as J
+    from pyjedai_spark.synth import webtext_df
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    docs, _ = webtext_df(spark, n_docs=n_docs, seed=101, vocab_size=20000)
+    docs = docs.localCheckpoint()  # exclude corpus synthesis? NO — cheap,
+    # and timing starts before this call either way; kept for lineage
+    return J.ejoin(docs, similarity_threshold=0.82, metric="cosine",
+                   tokenization="standard", id_col="eid", text_col="text",
+                   round_to=6)
+
+
+EXTRA_QUERIES = {"ejoin_cosine_zipf": _ejoin_cosine_zipf}
 
 
 def _force(df) -> int:
@@ -68,7 +91,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
+        fn = EXTRA_QUERIES.get(name) or QUERIES[name]
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

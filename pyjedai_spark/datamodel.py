@@ -92,3 +92,45 @@ def load_documents(spark, sf_dir: str) -> DataFrame:
     """The driver-generated documents table (doc_id, text, lang, source,
     n_chars) — our Dirty-ER entity table for oracle-checked queries."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def read_data_from_json(spark, json_path: str, base_dir: str = ""):
+    """Dataset-config reader (reference utils.py:1270-1316
+    read_data_from_json) re-expressed for Spark: the same JSON schema
+    (dir/d1/d2/gt names, format, separator, id column names), but each
+    file loads as a DataFrame via ``spark.read`` (csv with header or
+    parquet), so the config drives a distributed load instead of a
+    pandas one.
+
+    Returns a dict: {"d1": DataFrame, "d2": DataFrame|None,
+    "gt": DataFrame|None, "d1_id": str, "d2_id": str|None} — attribute
+    columns are normalized (NaN->'' str-coercion) exactly like the
+    reference Data ctor, via normalize_profiles.
+    """
+    import json as _json
+    import os as _os
+
+    with open(json_path) as f:
+        config = _json.load(f)
+
+    fmt = config.get("format", "csv")
+    sep = config.get("separator", ",")
+    dataset_dir = config.get("dir", "")
+
+    def _load(name):
+        path = _os.path.join(base_dir, dataset_dir, f"{name}.{fmt}")
+        if fmt == "parquet":
+            return spark.read.parquet(path)
+        return (spark.read.option("header", True).option("sep", sep)
+                .csv(path))
+
+    d1 = _load(config["d1"])
+    d1 = normalize_profiles(d1, config["d1_id"])
+    out = {"d1": d1, "d1_id": config["d1_id"],
+           "d2": None, "d2_id": config.get("d2_id"), "gt": None}
+    if "d2" in config:
+        d2 = _load(config["d2"])
+        out["d2"] = normalize_profiles(d2, config["d2_id"])
+    if "gt" in config:
+        out["gt"] = _load(config["gt"])
+    return out

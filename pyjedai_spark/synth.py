@@ -28,17 +28,31 @@ VOCAB = [
 LANGS = ["en", "en", "en", "de", "es", "fr", "zh"]  # en-heavy mix
 
 
+def extended_vocab(size: int) -> list[str]:
+    """Deterministic vocabulary of ``size`` tokens: the base words plus
+    a generated tail (w00056, w00057, ...). With Zipf(1.3) sampling the
+    tail is the realistic long tail real webtext has (typos, ids,
+    urls) — the regime where a prefix-filtered similarity join must
+    shine, vs the 56-word base vocab where every pair shares tokens."""
+    if size <= len(VOCAB):
+        return VOCAB[:size]
+    return VOCAB + [f"w{i:05d}" for i in range(len(VOCAB), size)]
+
+
 def generate_webtext(n_docs: int = 500, dup_fraction: float = 0.3,
                      cluster_size_max: int = 4, mutation_rate: float = 0.1,
                      doc_len: tuple[int, int] = (30, 120),
-                     seed: int = 42):
+                     seed: int = 42, vocab_size: int | None = None):
     """Returns (rows, gt_pairs): rows are dicts matching the webtext
     schema plus eid; gt_pairs are (eid1, eid2) true duplicate pairs
     (all intra-cluster pairs).
 
-    Deterministic: numpy RandomState(seed) only.
+    Deterministic: numpy RandomState(seed) only. ``vocab_size`` extends
+    the vocabulary (default: the 56 base words, unchanged for test
+    stability); the bench's Zipfian corpus uses 20k.
     """
     rng = np.random.RandomState(seed)
+    vocab = extended_vocab(vocab_size) if vocab_size else VOCAB
     base_ts = datetime(2024, 1, 1)
     rows, gt = [], []
     eid = 0
@@ -48,11 +62,11 @@ def generate_webtext(n_docs: int = 500, dup_fraction: float = 0.3,
         ln = rng.randint(doc_len[0], doc_len[1])
         # zipf-flavored sampling: low ranks more likely
         idx = rng.zipf(1.3, size=ln * 3) - 1
-        idx = idx[idx < len(VOCAB)][:ln]
+        idx = idx[idx < len(vocab)][:ln]
         while len(idx) < ln:
             extra = rng.zipf(1.3, size=ln) - 1
-            idx = np.concatenate([idx, extra[extra < len(VOCAB)]])[:ln]
-        return [VOCAB[i] for i in idx]
+            idx = np.concatenate([idx, extra[extra < len(vocab)]])[:ln]
+        return [vocab[i] for i in idx]
 
     def mutate(tokens):
         toks = list(tokens)
@@ -61,11 +75,11 @@ def generate_webtext(n_docs: int = 500, dup_fraction: float = 0.3,
             op = rng.randint(3)
             pos = rng.randint(len(toks))
             if op == 0:  # replace
-                toks[pos] = VOCAB[rng.randint(len(VOCAB))]
+                toks[pos] = vocab[rng.randint(len(vocab))]
             elif op == 1 and len(toks) > 5:  # delete
                 toks.pop(pos)
             else:  # insert
-                toks.insert(pos, VOCAB[rng.randint(len(VOCAB))])
+                toks.insert(pos, vocab[rng.randint(len(vocab))])
         return toks
 
     def emit(tokens, cluster_root):

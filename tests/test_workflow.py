@@ -87,3 +87,27 @@ def test_progressive_workflow_budget(spark):
     assert out.count() == 50
     ranks = [r["emit_rank"] for r in out.collect()]
     assert sorted(ranks) == list(range(1, 51))
+
+
+def test_read_data_from_json(spark, tmp_path):
+    """JSON dataset config (reference utils.py:1270-1316) drives a
+    distributed two-dataset load + the CCER workflow end-to-end."""
+    import json
+
+    from pyjedai_spark.datamodel import read_data_from_json
+
+    docs, _ = webtext_df(spark, n_docs=80, seed=37)
+    d = str(tmp_path)
+    docs.where("eid % 2 = 0").select("eid", "text").write.parquet(d + "/left.parquet")
+    docs.where("eid % 2 = 1").select("eid", "text").write.parquet(d + "/right.parquet")
+    cfg = {"dir": "", "d1": "left", "d2": "right", "format": "parquet",
+           "d1_id": "eid", "d2_id": "eid"}
+    cfg_path = d + "/data.json"
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    data = read_data_from_json(spark, cfg_path, base_dir=d)
+    assert data["d1"].count() == 40 and data["d2"].count() == 40
+    assert dict(data["d1"].dtypes)["text"] == "string"
+    wf = BlockingBasedWorkFlow.best_ccer()
+    out = wf.run(data["d1"], id_col="eid", text_col="text", d2=data["d2"])
+    assert {"id1", "id2", "weight"} <= set(out.columns)
