@@ -118,6 +118,10 @@ def ccer_edge_weights(postings: DataFrame, scheme: str = "CBS") -> DataFrame:
         num_blocks = postings.select("key").distinct().count()
 
     if needs_cmp:
+        # the edge table feeds three derivations (cmp1, cmp2, D) plus
+        # the weight projection — materialize the stage boundary once
+        # instead of re-running blocking+pairing per branch
+        e = e.localCheckpoint()
         # distinct cross-side partners per entity; D = sum/2 over the
         # bidirectional view == total distinct pairs
         dp = e.select("id1", "id2")
@@ -167,7 +171,7 @@ def ccer_wep(postings: DataFrame, scheme: str = "JS") -> DataFrame:
     """WeightedEdgePruning on the CCER graph: keep w >= global mean.
     WEP(EJS) is the reference's best published CCER configuration
     (workflow.py:696-716)."""
-    e = ccer_edge_weights(postings, scheme)
+    e = ccer_edge_weights(postings, scheme).localCheckpoint()
     mean = e.agg(F.avg("weight")).collect()[0][0] or 0.0
     return e.where(F.col("weight") >= F.lit(mean) - 1e-9).select(
         "id1", "id2", "weight")

@@ -21,7 +21,7 @@ uses implicitly by being single-process.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DRIVER_EDGE_LIMIT = 5_000_000
@@ -156,6 +156,71 @@ def unique_mapping_clustering(edges: DataFrame, similarity_threshold: float = 0.
         matched.add(id2)
         out.append((id1, id2, float(w)))
     return spark.createDataFrame(out, "id1 long, id2 long, weight double")
+
+
+def unique_mapping_distributed(edges: DataFrame,
+                               similarity_threshold: float = 0.1,
+                               weight_col: str = "sim",
+                               max_rounds: int = 64) -> DataFrame:
+    """Distributed UMC: iterated LOCALLY-DOMINANT edge matching.
+
+    The sequential greedy scan in (1-w, id1, id2) PQ order matches an
+    edge iff it precedes every other edge sharing an endpoint — i.e.
+    iff it is locally dominant under that strict total order. Repeating
+    "match all locally-dominant edges, drop their vertices" therefore
+    produces EXACTLY the sequential output (Preis 1999 / Manne &
+    Bisseling 2007, public results), but each round is two shuffles
+    over the surviving edges — no driver-side edge list, no
+    DRIVER_EDGE_LIMIT. Expected O(log E) rounds on webtext-like weight
+    distributions; identical output verified against
+    unique_mapping_clustering by the shared DuckDB oracle.
+    """
+    spark = edges.sparkSession
+    w = F.col(weight_col)
+    e = (edges.where(w > similarity_threshold)
+         .select("id1", "id2", w.cast("double").alias("w"))
+         .localCheckpoint())
+    parts = []
+    for _ in range(max_rounds):
+        if e.limit(1).count() == 0:
+            break
+        # per-vertex best incident edge under the PQ order (1-w, id1, id2)
+        bidir = e.select(F.col("id1").alias("u"), "id1", "id2", "w").union(
+            e.select(F.col("id2").alias("u"), "id1", "id2", "w"))
+        wnd = Window.partitionBy("u").orderBy(
+            (1.0 - F.col("w")).asc(), F.col("id1").asc(), F.col("id2").asc())
+        best = (bidir.withColumn("_rn", F.row_number().over(wnd))
+                .where(F.col("_rn") == 1)
+                .select("u", "id1", "id2"))
+        # dominant = best for BOTH endpoints
+        dominant = (
+            best.groupBy("id1", "id2").agg(F.count("*").alias("_n"))
+            .where(F.col("_n") == 2)
+            .select("id1", "id2")
+            .join(e, ["id1", "id2"])
+            .localCheckpoint()
+        )
+        parts.append(dominant)
+        matched = dominant.select(F.col("id1").alias("v")).union(
+            dominant.select(F.col("id2").alias("v"))).distinct()
+        e = (
+            e.join(matched.withColumnRenamed("v", "id1"), "id1", "left_anti")
+            .join(matched.withColumnRenamed("v", "id2"), "id2", "left_anti")
+            .select("id1", "id2", "w")
+            .localCheckpoint()
+        )
+        if e.limit(1).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"unique_mapping_distributed did not converge in {max_rounds} "
+            "rounds — pathological weight chain; raise max_rounds")
+    if not parts:
+        return spark.createDataFrame([], "id1 long, id2 long, weight double")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("id1", "id2", F.col("w").alias("weight"))
 
 
 def center_clustering(edges: DataFrame, similarity_threshold: float = 0.5,

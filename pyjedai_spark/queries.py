@@ -623,6 +623,28 @@ def q_ccer_blast_x2(spark, sf_dir):
     return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
 
 
+def q_ccer_best_chain(spark, sf_dir):
+    """The reference's best-CCER recipe END TO END on the true D1 x D2
+    space (workflow.py:696-716): StandardBlocking -> BlockFiltering(0.9,
+    CCER validity) -> WEP(EJS) -> char-3gram tfidf cosine -> UMC(0.17).
+    Pair space thinned 8x (id1 % 8 = 0) between pruning and matching so
+    the oracle's sequential UMC recursion stays tractable — every stage
+    formula is still the flagship config's."""
+    from .operators import block_cleaning as BCL
+    from .operators import ccer as X
+
+    d1, d2 = _ccer_inputs(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    p = BCL.block_filtering(X.ccer_blocking(d1, d2), ratio=0.9,
+                            dirty=False).localCheckpoint()
+    pairs = X.ccer_wep(p, "EJS").select("id1", "id2")
+    pairs = pairs.where(F.col("id1") % 8 == 0).localCheckpoint()
+    m = M.tfidf_cosine_matching(pairs, docs, tokenizer="char", qgram=3,
+                                similarity_threshold=0.0, round_to=6)
+    return CL.unique_mapping_clustering(m, similarity_threshold=0.17,
+                                        weight_col="sim")
+
+
 def _ccer_matches(spark, sf_dir):
     from .operators import ccer as X
 
@@ -766,6 +788,21 @@ def q_unique_mapping(spark, sf_dir):
                           similarity_threshold=0.55, round_to=6)
     return CL.unique_mapping_clustering(m, similarity_threshold=0.55,
                                         weight_col="sim")
+
+
+def q_unique_mapping_dist(spark, sf_dir):
+    """Distributed UMC (iterated locally-dominant matching) on the SAME
+    input as `unique_mapping` — and the same oracle: the two algorithms
+    are provably output-identical, and the shared DuckDB greedy-scan
+    replica proves it per round."""
+    docs = _docs(spark, sf_dir)
+    p = BB.standard_blocking(docs)
+    cands = CC.cardinality_node_pruning(p, "JS", num_entities=docs.count())
+    cands = cands.where(F.col("id1") % 8 == 0)
+    m = M.entity_matching(cands.select("id1", "id2"), docs, metric="cosine",
+                          similarity_threshold=0.55, round_to=6)
+    return CL.unique_mapping_distributed(m, similarity_threshold=0.55,
+                                         weight_col="sim")
 
 
 def q_qgrams_blocking(spark, sf_dir):
@@ -1058,6 +1095,7 @@ QUERIES = {
     # rows-only (no SQL oracle): pandas-UDF path & sequential clusterer
     "webtext_minhash_clusters": q_webtext_minhash_clusters,
     "unique_mapping": q_unique_mapping,
+    "unique_mapping_dist": q_unique_mapping_dist,
     "qgrams_blocking": q_qgrams_blocking,
     "suffix_blocking": q_suffix_blocking,
     "ext_suffix_blocking": q_ext_suffix_blocking,
@@ -1102,6 +1140,7 @@ QUERIES = {
     "ccer_rcnp_cncbs": q_ccer_rcnp_cncbs,
     "ccer_cep_js": q_ccer_cep_js,
     "ccer_blast_x2": q_ccer_blast_x2,
+    "ccer_best_chain": q_ccer_best_chain,
     "markov_clustering": q_markov_clustering,
     "embeddings_nn_bpm": q_embeddings_nn_bpm,
     "topk_join_pm": q_topk_join_pm,
@@ -1373,6 +1412,7 @@ umg AS (
               THEN NULL ELSE r.sim END
   FROM umg g JOIN umr r ON r.rn = g.rn + 1)
 SELECT m1 AS id1, m2 AS id2, mw AS weight FROM umg WHERE m1 IS NOT NULL"""
+    o["unique_mapping_dist"] = o["unique_mapping"]
 
     o["simhash_signatures"] = f"""WITH {_simhash_sql()}
 SELECT eid AS doc_id, simhash FROM sims"""
@@ -2213,6 +2253,102 @@ GROUP BY id1, id2"""
   SELECT id1, id2, inv_card + cbs AS w FROM cpr)"""
     o["ccer_rcnp_cncbs"] = _ccer_cnp_sql(_CCN, "ccn", reciprocal=True)
 
+    # the best-CCER recipe end to end: blocking -> CCER BlockFiltering
+    # (0.9, java-round, both-sides validity) -> WEP(EJS) -> char-3gram
+    # tfidf cosine -> UMC(0.17) greedy recursion
+    o["ccer_best_chain"] = f"""WITH RECURSIVE {_CTOK},
+bfc AS (
+  SELECT key,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+         * sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS card
+  FROM cblk GROUP BY key),
+brk AS (
+  SELECT b.key, b.eid, b.side,
+         row_number() OVER (PARTITION BY b.eid ORDER BY c.card, b.key) AS rn,
+         count(*) OVER (PARTITION BY b.eid) AS n
+  FROM cblk b JOIN bfc c ON c.key = b.key),
+bkept AS (SELECT key, eid, side FROM brk WHERE rn <= floor(0.9 * n + 0.5)),
+fblk AS (
+  SELECT key, eid, side FROM (
+    SELECT key, eid, side,
+           sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY key) AS n1,
+           sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY key) AS n2
+    FROM bkept)
+  WHERE n1 >= 1 AND n2 >= 1),
+fnb AS (SELECT eid, count(*) AS nb FROM fblk GROUP BY eid),
+fpr AS MATERIALIZED (
+  SELECT a.eid AS id1, b.eid AS id2, count(*) AS cbs
+  FROM fblk a JOIN fblk b ON a.key = b.key AND a.side = 1 AND b.side = 2
+  GROUP BY 1, 2),
+fjs AS (
+  SELECT p.id1, p.id2,
+         CAST(p.cbs AS DOUBLE) / (n1.nb + n2.nb - p.cbs) AS js
+  FROM fpr p JOIN fnb n1 ON n1.eid = p.id1 JOIN fnb n2 ON n2.eid = p.id2),
+fc1 AS (SELECT id1, CAST(count(*) AS DOUBLE) AS c FROM fpr GROUP BY id1),
+fc2 AS (SELECT id2, CAST(count(*) AS DOUBLE) AS c FROM fpr GROUP BY id2),
+fdd AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM fpr),
+fwe AS (
+  SELECT j.id1, j.id2,
+         j.js * log10(fdd.d / c1.c) * log10(fdd.d / c2.c) AS w
+  FROM fjs j JOIN fc1 c1 ON c1.id1 = j.id1
+  JOIN fc2 c2 ON c2.id2 = j.id2, fdd),
+fwep AS (
+  SELECT id1, id2 FROM fwe
+  WHERE w >= (SELECT avg(w) FROM fwe) - {EPS} AND id1 % 8 = 0),
+tg3 AS (
+  SELECT doc_id AS eid, g AS term FROM (
+    SELECT doc_id, unnest(CASE WHEN len(lower(text)) < 3 THEN []
+           ELSE list_transform(range(1, len(lower(text)) - 1),
+                i -> substr(lower(text), i, 3)) END) AS g
+    FROM documents)),
+ttf AS (SELECT eid, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tg3 GROUP BY 1, 2),
+tnn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+tdf2 AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+tidf AS (SELECT term, ln((1.0 + tnn.n) / (1.0 + df)) + 1.0 AS idf
+         FROM tdf2, tnn),
+tw AS MATERIALIZED (
+  SELECT t.eid, t.term, t.tf * i.idf AS w
+  FROM ttf t JOIN tidf i ON i.term = t.term),
+tnorm AS (SELECT eid, sqrt(sum(w * w)) AS nrm FROM tw GROUP BY eid),
+tdot AS (
+  SELECT p.id1, p.id2, sum(a.w * b.w) AS dot
+  FROM fwep p JOIN tw a ON a.eid = p.id1
+  JOIN tw b ON b.eid = p.id2 AND b.term = a.term
+  GROUP BY 1, 2),
+tmt AS MATERIALIZED (
+  SELECT p.id1, p.id2,
+         round(coalesce(d.dot, 0.0) / (x.nrm * y.nrm), 6) AS sim
+  FROM fwep p LEFT JOIN tdot d ON d.id1 = p.id1 AND d.id2 = p.id2
+  JOIN tnorm x ON x.eid = p.id1 JOIN tnorm y ON y.eid = p.id2),
+bumr AS MATERIALIZED (
+  SELECT id1, id2, sim,
+         row_number() OVER (ORDER BY (1.0 - sim), id1, id2) AS rn
+  FROM tmt WHERE sim > 0.17),
+bumg AS (
+  SELECT 0 AS rn, CAST([] AS BIGINT[]) AS matched,
+         CAST(NULL AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2,
+         CAST(NULL AS DOUBLE) AS mw
+  UNION ALL
+  SELECT r.rn,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN g.matched
+              ELSE list_append(list_append(g.matched, r.id1), r.id2) END,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN NULL ELSE r.id1 END,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN NULL ELSE r.id2 END,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN NULL ELSE r.sim END
+  FROM bumg g JOIN bumr r ON r.rn = g.rn + 1)
+SELECT m1 AS id1, m2 AS id2, mw AS weight FROM bumg WHERE m1 IS NOT NULL"""
+
     o["ccer_cep_js"] = f"""WITH {_CED},
 {_CJS}
 SELECT id1, id2, round(w, 6) AS weight FROM (
@@ -2395,14 +2531,16 @@ ORACLES = _build_oracles()
 _DRIVER_PRIORITY = [
     # changed implementation/oracle this round
     "sb_block_stats", "ccer_blocks", "ann_topk", "ann_lsh_topk",
-    "embedding_dedup", "unique_mapping", "webtext_minhash_clusters",
+    "embedding_dedup", "unique_mapping", "unique_mapping_dist",
+    "webtext_minhash_clusters",
     "ccer_unique_mapping", "markov_clustering", "topk_join", "pe_topk_join",
     "gpsn_acf", "gpsn_id", "lpsn_ncf", "pcep_topk", "pcnp_dfs", "pes_hb",
     "random_pm", "ejoin_cosine", "row_column_clustering",
     # new this round
     "ann_brute_topk", "ann_topk_from_text", "em_generalized_jaccard",
     "ccer_wep_ejs", "ccer_wep_x2", "ccer_cnp_js", "ccer_rcnp_cncbs",
-    "ccer_cep_js", "ccer_blast_x2", "progressive_recall", "progressive_auc",
+    "ccer_cep_js", "ccer_blast_x2", "ccer_best_chain",
+    "progressive_recall", "progressive_auc",
     # driver-unchecked in r01
     "em_dice", "em_jaccard_quirk", "em_overlap", "em_levenshtein", "em_jaro",
     "tfidf_cosine", "tf_cosine", "boolean_cosine", "clean_text",

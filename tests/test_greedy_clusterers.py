@@ -70,3 +70,21 @@ def test_ricochet_centers_cover_all_matched_entities(spark):
     cl = _clusters(out)
     g45 = next(c for c in cl if 4 in c)
     assert 5 in g45
+
+
+def test_unique_mapping_distributed_equals_sequential(spark):
+    """Iterated locally-dominant matching == the sequential greedy scan
+    (Preis local-dominance), on a corpus with real weight ties."""
+    from pyjedai_spark.operators import clustering as CL
+    from pyjedai_spark.operators import dedup as DD
+    from pyjedai_spark.synth import webtext_df
+
+    docs, _ = webtext_df(spark, n_docs=200, seed=41)
+    edges = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.3,
+                                   id_col="eid", text_col="text") \
+        .withColumnRenamed("jaccard", "sim")
+    seq = {(r["id1"], r["id2"]) for r in CL.unique_mapping_clustering(
+        edges, similarity_threshold=0.3).collect()}
+    dist = {(r["id1"], r["id2"]) for r in CL.unique_mapping_distributed(
+        edges, similarity_threshold=0.3).collect()}
+    assert seq == dist and seq
