@@ -217,6 +217,58 @@ def brute_force_topk(vectors: DataFrame, k: int = 10,
     )
 
 
+def ivf_topk(vectors: DataFrame, k: int = 10, n_cells: int = 16,
+             nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding", round_to: int = 6) -> DataFrame:
+    """IVF-flat ANN (the coarse-quantizer path of the brief): vectors
+    are bucketed into ``n_cells`` Voronoi cells, a query probes its
+    ``nprobe`` nearest cells and reranks exactly inside them.
+
+    Deterministic + oracle-exact by construction: centroids are SAMPLED
+    vectors (every ceil(N/n_cells)-th id — no Lloyd averaging, so no
+    float-sum ordering ambiguity), and cell assignment compares ROUNDED
+    cosine with centroid-id tie-break. Cost model is the standard IVF
+    trade: assignment is N x n_cells (vs N^2 flat); candidate rerank is
+    ~nprobe/n_cells of the corpus per query. At 10^9+ rows pick
+    n_cells ~ sqrt(N) and broadcast the centroid table — exactly the
+    plan below (centroids are always tiny).
+
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    v = vectors.select(F.col(id_col).alias("_id"),
+                       F.col(vec_col).cast("array<double>").alias("_v"))
+    n = v.count()
+    step = max(1, -(-n // n_cells))  # ceil
+    cents = (v.where(F.col("_id") % step == 0)
+             .select(F.col("_id").alias("cid"), F.col("_v").alias("_c")))
+    sim_c = F.round(cosine_expr(F.col("_v"), F.col("_c")), round_to)
+    ranked = (
+        v.join(F.broadcast(cents), how="cross")
+        .withColumn("_s", sim_c)
+        .withColumn("_r", F.row_number().over(
+            Window.partitionBy("_id").orderBy(F.col("_s").desc(),
+                                              F.col("cid").asc())))
+    )
+    assign = ranked.where(F.col("_r") == 1).select("_id", F.col("cid").alias("cell"))
+    probes = ranked.where(F.col("_r") <= nprobe).select(
+        F.col("_id").alias("query_id"), F.col("cid").alias("cell"))
+    corpus = v.join(assign, "_id").select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("_n"), "cell")
+    qv = v.select(F.col("_id").alias("query_id"), F.col("_v").alias("_q"))
+    cand = (probes.join(corpus, "cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id").distinct())
+    j = (cand.join(qv, "query_id")
+         .join(corpus.select("neighbor_id", "_n").distinct(), "neighbor_id")
+         .withColumn("cosine", F.round(cosine_expr(F.col("_q"), F.col("_n")),
+                                       round_to)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (j.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def hashing_trick_embedding(docs: DataFrame, dim: int = 64, qgram: int = 3,
                             id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:

@@ -2,13 +2,17 @@
 as opaque ``binary`` payloads plus typed metadata, processed with
 Arrow-batched pandas UDFs / mapInPandas.
 
-The container has no image/audio codecs (no PIL/ffmpeg), so the DECODE
-KERNELS are stubs: each tries the real library first and otherwise
-falls back to a clearly-marked deterministic fake (or raises
-NotImplementedError when ``strict=True``). Everything Spark-side —
-schema, partitioning, UDF signatures, Arrow batch shapes, the 1->N
-frame explosion — is real and tested; swapping in a real codec is a
-pure function replacement inside the UDF.
+Decode kernels, by format:
+- binary PPM (P6) decodes FOR REAL — it is a pure-parse format (header
+  + raw RGB), no codec library needed; `_ppm_decode` below, exercised
+  by synth_media's PPM rows and pixel-exact tests.
+- compressed formats (jpeg/png/...) need a codec the container lacks
+  (no PIL/ffmpeg): the kernel tries the real library first and
+  otherwise falls back to a clearly-marked deterministic fake (or
+  raises NotImplementedError when ``strict=True``).
+Everything Spark-side — schema, partitioning, UDF signatures, Arrow
+batch shapes, the 1->N frame explosion — is real and tested; a real
+codec drops in as a pure function replacement inside the UDF.
 
 Scale notes: payloads stay executor-side end-to-end (no collect);
 mapInPandas streams Arrow batches so a 100MB video row never
@@ -52,11 +56,49 @@ def synth_media(spark, n: int = 60, seed: int = 42) -> DataFrame:
         w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
         sr = int(rng.choice([8000, 16000, 44100]))
         dur = int(rng.randint(200, 5000))
-        body = rng.bytes(int(rng.randint(64, 512)))
-        payload = struct.pack("<4sII", b"FAKE", w, h) + body
+        if kind == "image" and i % 2 == 0:
+            # REAL binary-PPM payload (deterministic gradient pixels) —
+            # exercises the pure-parse decode path, not the fake
+            px = bytes((x * 7 + y * 13 + c * 29 + i) % 256
+                       for y in range(h) for x in range(w)
+                       for c in range(3))
+            payload = make_ppm(w, h, px)
+            codec = "ppm"
+        else:
+            body = rng.bytes(int(rng.randint(64, 512)))
+            payload = struct.pack("<4sII", b"FAKE", w, h) + body
+            codec = "fake"
         rows.append((i, f"https://example.org/m/{i}", kind,
-                     bytearray(payload), w, h, sr, dur, "fake"))
+                     bytearray(payload), w, h, sr, dur, codec))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _ppm_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL image decode for binary PPM (P6) — a pure-parse format:
+    ASCII header (magic, width, height, maxval; '#' comments allowed)
+    followed by raw interleaved RGB. No codec library involved."""
+    import re
+
+    m = re.match(
+        rb"^P6\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)\s+"
+        rb"(?:#[^\n]*\s+)*(\d+)\s", bytes(payload))
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    n = w * h * 3
+    data = bytes(payload[m.end():m.end() + n])
+    if len(data) < n:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, 3, data
+
+
+def make_ppm(w: int, h: int, pixels: bytes) -> bytes:
+    """Serialize raw RGB into a binary PPM payload (the inverse of
+    _ppm_decode; used by synth_media for the real-decode path)."""
+    assert len(pixels) == w * h * 3
+    return f"P6\n{w} {h}\n255\n".encode() + pixels
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -93,7 +135,10 @@ def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
         for pdf in batches:
             recs = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, c, px = _fake_decode(payload)
+                if bytes(payload[:2]) == b"P6":
+                    w, h, c, px = _ppm_decode(payload)  # real decode
+                else:
+                    w, h, c, px = _fake_decode(payload)
                 recs.append((mid, w, h, c, px))
             yield pd.DataFrame(
                 recs, columns=["media_id", "width", "height",

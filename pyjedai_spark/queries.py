@@ -499,6 +499,17 @@ def q_ann_topk_from_text(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (coarse quantizer + exact in-cell rerank): the
+    classic FAISS-style scale path complementing sign-LSH. Centroid
+    table is tiny and broadcast; assignment is N x n_cells, rerank
+    ~nprobe/n_cells of the corpus per query."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = V.ivf_topk(emb, k=10, n_cells=16, nprobe=2)
+    return out.select("query_id", "neighbor_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_ann_brute_topk(spark, sf_dir):
     """Exactness baseline: bounded 20-probe broadcast brute force (the
     probe side MUST be bounded; lsh_topk is the unbounded-N path)."""
@@ -1090,6 +1101,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_brute_topk": q_ann_brute_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_topk_from_text": q_ann_topk_from_text,
     "embedding_dedup": q_embedding_dedup,
     # rows-only (no SQL oracle): pandas-UDF path & sequential clusterer
@@ -1637,6 +1649,37 @@ SELECT c.qid AS query_id, c.nid AS neighbor_id,
        row_number() OVER (PARTITION BY c.qid
                           ORDER BY round({_cos}, 6) DESC, c.nid) AS rank
 FROM cand c JOIN v a ON a.vec_id = c.qid JOIN v b ON b.vec_id = c.nid
+QUALIFY rank <= 10"""
+
+    # IVF-flat twin: centroids are every step-th id (step = ceil(N/16)),
+    # assignment = argmax rounded cosine (centroid-id tie-break), probe
+    # the 2 nearest cells, exact rerank inside — mirrors vectors.ivf_topk
+    # decision-for-decision on the rounded values.
+    _cos_ac = ("list_dot_product(a.v, c.c) / "
+               "(sqrt(list_dot_product(a.v, a.v)) * "
+               "sqrt(list_dot_product(c.c, c.c)))")
+    o["ann_ivf_topk"] = f"""WITH {_EMB_V},
+par AS (SELECT CAST((count(*) + 15) // 16 AS BIGINT) AS step FROM v),
+cents AS (
+  SELECT vec_id AS cid, v AS c FROM v, par WHERE vec_id % step = 0),
+ranked AS MATERIALIZED (
+  SELECT a.vec_id AS id, c.cid,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_cos_ac}, 6) DESC, c.cid)
+           AS r
+  FROM v a CROSS JOIN cents c),
+assign AS (SELECT id AS neighbor_id, cid AS cell FROM ranked WHERE r = 1),
+probes AS (SELECT id AS query_id, cid AS cell FROM ranked WHERE r <= 2),
+cand AS (
+  SELECT DISTINCT p.query_id, s.neighbor_id
+  FROM probes p JOIN assign s USING (cell)
+  WHERE p.query_id <> s.neighbor_id)
+SELECT c.query_id, c.neighbor_id, round({_cos}, 6) AS cosine,
+       row_number() OVER (PARTITION BY c.query_id
+                          ORDER BY round({_cos}, 6) DESC, c.neighbor_id)
+         AS rank
+FROM cand c JOIN v a ON a.vec_id = c.query_id
+            JOIN v b ON b.vec_id = c.neighbor_id
 QUALIFY rank <= 10"""
 
     o["ann_topk"] = _lsh_topk_sql(4, 16)
@@ -2530,6 +2573,7 @@ ORACLES = _build_oracles()
 # across rounds; long-green unchanged queries move to the tail.
 _DRIVER_PRIORITY = [
     # changed implementation/oracle this round
+    "ann_ivf_topk",
     "sb_block_stats", "ccer_blocks", "ann_topk", "ann_lsh_topk",
     "embedding_dedup", "unique_mapping", "unique_mapping_dist",
     "webtext_minhash_clusters",

@@ -162,3 +162,26 @@ def test_process_increment_retry_idempotent(spark):
         assert {(r["id1"], r["id2"]) for r in got.collect()} == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_ppm_real_decode_pixel_exact(spark):
+    """Binary-PPM payloads decode FOR REAL (pure parse, no codec lib):
+    pixels come back byte-exact, not from the fake generator."""
+    from pyjedai_spark import multimodal as MM
+
+    media = MM.synth_media(spark, 30)
+    decoded = {r["media_id"]: r for r in MM.decode_images(media).collect()}
+    src = {r["media_id"]: r for r in media.where("kind = 'image'").collect()}
+    ppm_ids = [i for i, r in src.items() if r["codec"] == "ppm"]
+    assert ppm_ids, "synth_media produced no PPM rows"
+    for mid in ppm_ids:
+        w, h = src[mid]["width"], src[mid]["height"]
+        want = bytes((x * 7 + y * 13 + c * 29 + mid) % 256
+                     for y in range(h) for x in range(w) for c in range(3))
+        got = decoded[mid]
+        assert (got["width"], got["height"], got["n_channels"]) == (w, h, 3)
+        assert bytes(got["pixels"]) == want
+    # fake-codec rows still decode through the documented stand-in
+    fake_ids = [i for i, r in src.items() if r["codec"] == "fake"]
+    assert all(len(bytes(decoded[i]["pixels"])) ==
+               src[i]["width"] * src[i]["height"] * 3 for i in fake_ids)

@@ -182,3 +182,32 @@ def test_clean_text_byte_identical_to_python(spark, docs):
     texts = {r["doc_id"]: r["text"] for r in sample.collect()}
     for r in got:
         assert r["c"] == _py_clean_text(texts[r["doc_id"]]), r["doc_id"]
+
+
+def test_ivf_topk_all_probes_equals_exact(spark):
+    """With nprobe = n_cells (probe everything) IVF must reduce to the
+    exact brute-force top-k: same neighbors, same rounded cosines, same
+    ranks for every query. At nprobe=2 results are a subset per query."""
+    import random
+
+    from pyjedai_spark.functions import vectors as V
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+             for r in V.brute_force_topk(
+                 emb, k=5, probe_ids=list(range(80))).collect()}
+    full = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in V.ivf_topk(emb, k=5, n_cells=8, nprobe=8).collect()}
+    assert full == exact
+    sub = V.ivf_topk(emb, k=5, n_cells=8, nprobe=2).collect()
+    assert sub, "nprobe=2 returned nothing"
+    exact_pairs = {(q, n) for (q, _), (n, _) in exact.items()}
+    # every IVF hit is a true pair with the true cosine at some rank
+    exact_cos = {(q, n): c for (q, _), (n, c) in exact.items()}
+    for r in sub:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-12
+    assert any((r["query_id"], r["neighbor_id"]) in exact_pairs for r in sub)
