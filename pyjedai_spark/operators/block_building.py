@@ -166,6 +166,48 @@ def block_pairs(postings: DataFrame, salt_threshold: int | None = None) -> DataF
     )
 
 
+def block_pairs_salted(postings: DataFrame, chunk: int = 1024) -> DataFrame:
+    """Same distinct (id1 < id2) pair set as :func:`block_pairs`, but with
+    skewed mega-blocks SPLIT across tasks instead of funneled through
+    one — the "salted repartitioning" of the north rule, for when a hot
+    block must be *kept* (vs the drop/cap guards).
+
+    Plan: each block's entities are hashed into ``ceil(size/chunk)``
+    sub-chunks (expected size ≈ ``chunk``); the quadratic enumeration
+    becomes a join of chunk-pairs ``(c1 <= c2)`` repartitioned on
+    ``(key, c1, c2)``, so no single task ever materializes more than
+    ~chunk² pairs regardless of block size. A 10^6-entity boilerplate
+    block (5·10^11 pairs) thus spreads over ~5·10^5 bounded tasks where
+    the plain self-join would hash every one of its rows to one
+    reducer (AQE skew-split can divide a join partition, but every
+    sub-partition still re-reads the full build side of the hot key).
+    """
+    sizes = postings.groupBy("key").agg(F.count("*").alias("_bs"))
+    p = (
+        postings.join(sizes, "key")
+        .where(F.col("_bs") >= 2)
+        .withColumn("_nc", F.ceil(F.col("_bs") / F.lit(chunk)).cast("int"))
+        .withColumn("_c", F.pmod(F.xxhash64("eid"), F.col("_nc")).cast("int"))
+    )
+    chunks = p.groupBy("key", "_c").agg(F.collect_list("eid").alias("_ids"))
+    left = chunks.select("key", F.col("_c").alias("c1"), F.col("_ids").alias("ids1"))
+    right = chunks.select("key", F.col("_c").alias("c2"), F.col("_ids").alias("ids2"))
+    cp = (
+        left.join(right, "key")
+        .where(F.col("c1") <= F.col("c2"))
+        # spread the hot key's chunk-pairs across the cluster BEFORE the
+        # quadratic explode — this repartition is the salt
+        .repartition("key", "c1", "c2")
+    )
+    return (
+        cp.select("c1", "c2", F.explode("ids1").alias("x"), "ids2")
+        .select("c1", "c2", "x", F.explode("ids2").alias("y"))
+        .where((F.col("c1") < F.col("c2")) | (F.col("x") < F.col("y")))
+        .select(F.least("x", "y").alias("id1"), F.greatest("x", "y").alias("id2"))
+        .distinct()
+    )
+
+
 def block_stats(postings: DataFrame) -> DataFrame:
     """Per-collection summary stats (reference AbstractBlockProcessing
     .stats, block_building.py:148-289) as one aggregate row. Median /

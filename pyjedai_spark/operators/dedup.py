@@ -135,11 +135,17 @@ def lsh_bands(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
 def lsh_candidate_pairs(docs: DataFrame, k: int = 32, bands: int = 8,
                         rows: int | None = None, shingle_size: int = 1,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_bucket: int | None = 1000) -> DataFrame:
+                        max_bucket: int | None = 1000,
+                        salted_chunk: int | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs (id1<id2, distinct): docs agreeing on
     at least one full band. ``max_bucket`` size-caps hot buckets
     (boilerplate shingle sets) before the within-bucket self-join —
-    the salted/size-capped mega-block guard of the north rule."""
+    the size-capped mega-block guard of the north rule. When a hot
+    bucket must be KEPT instead of dropped, pass ``salted_chunk``:
+    pair enumeration routes through
+    :func:`..block_building.block_pairs_salted`, which splits each
+    bucket's quadratic work into bounded ~chunk² tasks (identical
+    output, skew-proof plan)."""
     rows = rows or k // bands
     # Materialize the signature table ONCE. Projection collapse would
     # otherwise inline the signature fold into all `bands` band-hash
@@ -154,6 +160,9 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 32, bands: int = 8,
     b = lsh_bands(sigs, bands, rows)
     b = b.select(F.concat_ws("|", F.col("band_idx"), F.col("band_hash")).alias("key"),
                  "eid")
+    if salted_chunk is not None:
+        from .block_building import block_pairs_salted
+        return block_pairs_salted(b, chunk=salted_chunk)
     if max_bucket is not None:
         b = keep_multi_entity_blocks(b, 2, max_bucket)
     a1 = b.select("key", F.col("eid").alias("id1"))

@@ -399,6 +399,15 @@ def q_minhash_lsh_pairs(spark, sf_dir):
                                   shingle_size=3, max_bucket=None)
 
 
+def q_minhash_lsh_pairs_salted(spark, sf_dir):
+    """Same pair set as minhash_lsh_pairs, enumerated via the salted
+    mega-block splitter (chunk=32 at test scale forces multi-chunk
+    blocks, proving the skew-proof path is output-identical)."""
+    return DD.lsh_candidate_pairs(_docs(spark, sf_dir), k=32, bands=8,
+                                  shingle_size=3, max_bucket=None,
+                                  salted_chunk=32)
+
+
 def q_minhash_near_dup(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     cands = DD.lsh_candidate_pairs(docs, k=32, bands=8, shingle_size=3,
@@ -788,6 +797,14 @@ def q_video_frame_sample(spark, sf_dir):
                            max_frames=8)
 
 
+def q_audio_decode(spark, sf_dir):
+    """Multimodal: PCM WAV payloads decode for real (pure RIFF parse);
+    exact integer-derived RMS / zero-crossing features."""
+    from . import multimodal as MM
+
+    return MM.decode_audio(MM.synth_media(spark, 60))
+
+
 def q_unique_mapping(spark, sf_dir):
     """UMC greedy 1-1 matching. Pair set thinned 8x (id1 % 8 = 0) so the
     DuckDB oracle's sequential recursive-CTE scan stays tractable."""
@@ -1087,6 +1104,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_bands": q_minhash_bands,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_lsh_pairs_salted": q_minhash_lsh_pairs_salted,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_signatures": q_simhash_signatures,
     "simhash_pairs": q_simhash_pairs,
@@ -1140,6 +1158,7 @@ QUERIES = {
     "best_match_clustering": q_best_match_clustering,
     "media_features": q_media_features,
     "video_frame_sample": q_video_frame_sample,
+    "audio_decode": q_audio_decode,
     "ccer_blocks": q_ccer_blocks,
     "ccer_pairs_cp": q_ccer_pairs_cp,
     "ccer_wep_js": q_ccer_wep_js,
@@ -1356,6 +1375,10 @@ SELECT eid AS doc_id, band_idx, band_hash FROM bands"""
 SELECT DISTINCT a.eid AS id1, b.eid AS id2
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.eid < b.eid"""
+
+    # identical pair set by construction — the salted enumerator must
+    # reproduce the plain self-join bit-for-bit
+    o["minhash_lsh_pairs_salted"] = o["minhash_lsh_pairs"]
 
     o["minhash_near_dup"] = f"""WITH {_tokhash_sql(3)},
 {_minhash_sig_sql(32)},
@@ -2573,6 +2596,7 @@ ORACLES = _build_oracles()
 # across rounds; long-green unchanged queries move to the tail.
 _DRIVER_PRIORITY = [
     # changed implementation/oracle this round
+    "minhash_lsh_pairs_salted", "audio_decode",
     "ann_ivf_topk",
     "sb_block_stats", "ccer_blocks", "ann_topk", "ann_lsh_topk",
     "embedding_dedup", "unique_mapping", "unique_mapping_dist",

@@ -185,3 +185,58 @@ def test_ppm_real_decode_pixel_exact(spark):
     fake_ids = [i for i, r in src.items() if r["codec"] == "fake"]
     assert all(len(bytes(decoded[i]["pixels"])) ==
                src[i]["width"] * src[i]["height"] * 3 for i in fake_ids)
+
+
+def test_wav_roundtrip_sample_exact(spark):
+    import numpy as np
+    samples = np.array([0, 100, -200, 32767, -32768, 7], dtype=np.int16)
+    sr, nch, got = MM._wav_decode(MM.make_wav(16000, samples))
+    assert (sr, nch) == (16000, 1)
+    assert np.array_equal(got, samples)
+
+
+def test_decode_audio_real_wav_features_exact(spark):
+    import math
+    import numpy as np
+    samples = np.array([3, -3, 3, -3], dtype=np.int16)
+    media = spark.createDataFrame(
+        [(0, "u", "audio", bytearray(MM.make_wav(8000, samples)),
+          0, 0, 8000, 999, "wav")], MM.MEDIA_SCHEMA)
+    r = MM.decode_audio(media).collect()[0]
+    assert r["n_samples"] == 4 and r["n_channels"] == 1
+    assert r["pcm_duration_ms"] == 4 * 1000 // 8000
+    assert abs(r["rms"] - 3.0) < 1e-12
+    assert r["zero_crossings"] == 3
+
+
+def test_decode_audio_mixed_real_and_fake(spark):
+    media = MM.synth_media(spark, 60)
+    out = MM.decode_audio(media)
+    n_audio = media.where("kind = 'audio'").count()
+    rows = out.collect()
+    assert len(rows) == n_audio
+    wav_ids = {r["media_id"]
+               for r in media.where("codec = 'wav'").collect()}
+    for r in rows:
+        if r["media_id"] in wav_ids:
+            assert r["n_samples"] >= 64  # real decode saw the payload
+        else:
+            assert r["n_samples"] == 256  # deterministic fake
+
+
+def test_resize_nearest_neighbor_exact(spark):
+    """2x2 RGB image -> 4x4: nearest-neighbor duplicates each source
+    pixel into a 2x2 tile (floor index mapping) — checked bit-exact."""
+    px = bytes([10, 11, 12, 20, 21, 22,
+                30, 31, 32, 40, 41, 42])
+    media = spark.createDataFrame(
+        [(0, "u", "image", bytearray(MM.make_ppm(2, 2, px)),
+          2, 2, 0, 0, "ppm")], MM.MEDIA_SCHEMA)
+    r = MM.resize_images(media, 4, 4).collect()[0]
+    got = bytes(r["pixels"])
+    want = bytearray()
+    src = [px[0:3], px[3:6], px[6:9], px[9:12]]
+    for y in range(4):
+        for x in range(4):
+            want += bytes(src[(y // 2) * 2 + (x // 2)])
+    assert got == bytes(want)

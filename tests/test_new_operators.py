@@ -211,3 +211,25 @@ def test_ivf_topk_all_probes_equals_exact(spark):
         if key in exact_cos:
             assert abs(r["cosine"] - exact_cos[key]) < 1e-12
     assert any((r["query_id"], r["neighbor_id"]) in exact_pairs for r in sub)
+
+
+def test_salted_pairs_identical_to_self_join(spark, docs):
+    """block_pairs_salted must reproduce block_pairs bit-for-bit while
+    bounding per-task work; chunk=4 forces every real block through the
+    multi-chunk path (cross-chunk AND intra-chunk branches)."""
+    p = BB.standard_blocking(docs.limit(150))
+    plain = sorted((r["id1"], r["id2"]) for r in BB.block_pairs(p).collect())
+    salted = sorted((r["id1"], r["id2"])
+                    for r in BB.block_pairs_salted(p, chunk=4).collect())
+    assert plain == salted and len(plain) > 0
+
+
+def test_salted_lsh_candidates_identical(spark, docs):
+    from pyjedai_spark.operators import dedup as DD
+    sample = docs.limit(120)
+    plain = sorted((r["id1"], r["id2"]) for r in DD.lsh_candidate_pairs(
+        sample, k=32, bands=8, shingle_size=3, max_bucket=None).collect())
+    salted = sorted((r["id1"], r["id2"]) for r in DD.lsh_candidate_pairs(
+        sample, k=32, bands=8, shingle_size=3, max_bucket=None,
+        salted_chunk=3).collect())
+    assert plain == salted and len(plain) > 0
