@@ -110,3 +110,146 @@ def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id",
     the exact-dedup / lineage fingerprint."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return docs.select(F.col(id_col).alias("eid"), F.md5(norm).alias("fingerprint"))
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_count: int = 2,
+               keep_first: bool = True) -> DataFrame:
+    """RefinedWeb/C4-style exact LINE deduplication across the corpus:
+    a line occurring >= ``min_count`` times globally is removed from
+    every document except (``keep_first``) its first occurrence in
+    (doc_id, position) order. Returns every input doc with its
+    reconstructed text: (eid, n_lines, n_kept, clean_text).
+
+    Plan: posexplode lines -> global per-line count + first-occurrence
+    via groupBy(min(struct)) — a map-side-combining aggregate, NOT a
+    window over partitionBy(line), so a hot line (boilerplate nav text
+    repeated 10^9 times) partial-aggregates on the mappers instead of
+    shuffling every occurrence to one reducer. Blank lines are dropped
+    up front (the hottest key by far in real webtext).
+    """
+    lines = (
+        docs.select(F.col(id_col).alias("eid"),
+                    F.posexplode(F.split(F.col(text_col), "\n"))
+                    .alias("pos", "line"))
+        .withColumn("line", F.trim("line"))
+        .where(F.col("line") != "")
+    )
+    stats = lines.groupBy("line").agg(
+        F.count("*").alias("_cnt"),
+        F.min(F.struct("eid", "pos")).alias("_first"))
+    kept = (
+        lines.join(stats, "line")
+        .where((F.col("_cnt") < min_count)
+               | (F.lit(keep_first)
+                  & (F.struct("eid", "pos") == F.col("_first"))))
+        .select("eid", "pos", "line")
+    )
+    rebuilt = kept.groupBy("eid").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"]), "\n").alias("clean_text"))
+    totals = lines.groupBy("eid").agg(F.count("*").alias("n_lines"))
+    base = docs.select(F.col(id_col).alias("eid"))
+    return (
+        base.join(totals, "eid", "left").join(rebuilt, "eid", "left")
+        .select("eid",
+                F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    )
+
+
+# PII-ish patterns: kept to constructs whose semantics are identical in
+# Java regex (Spark) and DuckDB's RE2 — no backrefs, no lookaround.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "n_phoneish": r"\+\d[\d()\- ]{7,}\d",
+}
+
+
+def pii_counts(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-doc counts of PII-shaped substrings (emails / IPv4 / intl
+    phone numbers) — the scrubbing-pass prefilter of a training-data
+    pipeline. Pure JVM regexp (codegen), one scan."""
+    cols = [F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0)))
+            .cast("long").alias(name) for name, p in PII_PATTERNS.items()]
+    return docs.select(F.col(id_col).alias("eid"), *cols)
+
+
+def source_stats(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 source_col: str = "source") -> DataFrame:
+    """Per-source (domain/crawl-feed) corpus stats — the signal a
+    pipeline uses to blocklist boilerplate-heavy domains: doc count,
+    exact-duplicate fraction (corpus-wide fingerprint), mean doc
+    length. Two aggregations, both map-side combining."""
+    fp = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    d = docs.select(F.col(source_col).alias("source"),
+                    F.col(id_col).alias("eid"),
+                    fp.alias("fingerprint"),
+                    F.length(text_col).alias("_len"))
+    counts = d.groupBy("fingerprint").agg(F.count("*").alias("_fc"))
+    return (
+        d.join(counts, "fingerprint")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.round(F.avg(F.when(F.col("_fc") > 1, 1.0).otherwise(0.0)), 6)
+             .alias("dup_frac"),
+             F.round(F.avg("_len"), 6).alias("avg_len"))
+    )
+
+
+def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, table A1
+    — public formulation): word count in [50, 100k], mean word length
+    in [3, 10], symbol-to-word ratio (# and "...") <= 0.1, >= 80% words
+    with an alphabetic char, >= 2 distinct common stopwords present,
+    < 90% lines starting with a bullet, < 30% lines ending in "...".
+    Emits each signal plus the conjunction ``passes`` — all column
+    expressions, one scan, exact-SQL oracle."""
+    toks = T.tokens(F.col(text_col), distinct=False)
+    n = F.size(toks)
+    lines_arr = F.filter(F.transform(F.split(F.col(text_col), "\n"),
+                                     lambda s: F.trim(s)),
+                         lambda s: s != "")
+    n_lines = F.size(lines_arr)
+    mean_wl = F.when(n > 0, F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    n_hash = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"#"), F.lit(0)))
+    n_ellip = F.size(F.regexp_extract_all(F.col(text_col),
+                                          F.lit(r"\.\.\."), F.lit(0)))
+    sym_ratio = F.when(n > 0, (n_hash + n_ellip).cast("double") / n) \
+        .otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_frac = F.when(n > 0, alpha_words.cast("double") / n) \
+        .otherwise(F.lit(0.0))
+    sw = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    bullet_frac = F.when(n_lines > 0, F.size(
+        F.filter(lines_arr, lambda s: s.startswith("-") | s.startswith("*"))
+    ).cast("double") / n_lines).otherwise(F.lit(0.0))
+    ellip_frac = F.when(n_lines > 0, F.size(
+        F.filter(lines_arr, lambda s: s.endswith("..."))
+    ).cast("double") / n_lines).otherwise(F.lit(0.0))
+    passes = ((n >= 50) & (n <= 100000)
+              & (mean_wl >= 3) & (mean_wl <= 10)
+              & (sym_ratio <= 0.1) & (alpha_frac >= 0.8) & (n_stop >= 2)
+              & (bullet_frac < 0.9) & (ellip_frac < 0.3))
+    return docs.select(
+        F.col(id_col).alias("eid"),
+        n.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellip_frac, 6).alias("ellipsis_line_frac"),
+        passes.cast("long").alias("passes"),
+    )

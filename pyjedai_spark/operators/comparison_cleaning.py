@@ -93,6 +93,10 @@ def edge_weights(postings: DataFrame, scheme: str = "CBS",
         num_blocks = postings.select("key").distinct().count()
 
     if scheme in NEEDS_CMP:
+        # e fans out into three consumers below (bidir union x2 + the
+        # final joins) — materialize the boundary once or each branch
+        # re-runs the key self-join + groupBy
+        e = e.localCheckpoint()
         # distinct comparisons per entity (comparison_cleaning.py:270-295):
         # DER -> #distinct co-occurring entities (self excluded)
         bidir = e.select(F.col("id1").alias("u"), F.col("id2").alias("v")).union(
@@ -174,7 +178,9 @@ def comparison_propagation(postings: DataFrame) -> DataFrame:
 def weighted_edge_pruning(postings: DataFrame, scheme: str = "CBS") -> DataFrame:
     """Keep edges with weight >= global mean edge weight
     (WEP, comparison_cleaning.py:344-424)."""
-    e = edge_weights(postings, scheme)
+    # mean is an action over e and the filter re-reads it — one
+    # materialization, not two edge builds
+    e = edge_weights(postings, scheme).localCheckpoint()
     mean = e.agg(F.avg("weight")).collect()[0][0] or 0.0
     return e.where(F.col("weight") >= F.lit(mean) - EPS).select("id1", "id2", "weight")
 
@@ -192,7 +198,8 @@ def weighted_node_pruning(postings: DataFrame, scheme: str = "CBS",
     """WNP: keep (i<j) if w >= avg(neighborhood_i) OR w >= avg(nbh_j)
     (comparison_cleaning.py:570-618); Reciprocal -> AND (647-666,
     default scheme CN-CBS there)."""
-    e = edge_weights(postings, scheme)
+    # e fans out 3x (both _node_stat branches + the join probe side)
+    e = edge_weights(postings, scheme).localCheckpoint()
     stats = _node_stat(e, F.avg)
     e2 = (
         e.join(stats.withColumnRenamed("node", "id1")
@@ -209,7 +216,7 @@ def weighted_node_pruning(postings: DataFrame, scheme: str = "CBS",
 def blast(postings: DataFrame, scheme: str = "X2") -> DataFrame:
     """BLAST: keep (i<j) if w >= (max_w(i)+max_w(j))/4
     (comparison_cleaning.py:620-645)."""
-    e = edge_weights(postings, scheme)
+    e = edge_weights(postings, scheme).localCheckpoint()
     stats = _node_stat(e, F.max)
     e2 = (
         e.join(stats.withColumnRenamed("node", "id1")
@@ -254,7 +261,10 @@ def cardinality_node_pruning(postings: DataFrame, scheme: str = "CBS",
     (_is_valid_comparison, 511-516): reciprocal pairs kept once (i<j),
     one-directional pairs kept as-is (CNP) / dropped (RCNP).
     """
-    e = edge_weights(postings, scheme)
+    # e fans out into the bidir union's two branches; nearest fans out
+    # into fwd + rev. Materialize both boundaries or the key self-join
+    # + groupBy runs up to 4x.
+    e = edge_weights(postings, scheme).localCheckpoint()
     if k is None:
         # reference k = max(1, block_assignments / num_of_entities) with
         # num_of_entities = FULL dataset size (comparison_cleaning.py:518-523)
@@ -270,7 +280,7 @@ def cardinality_node_pruning(postings: DataFrame, scheme: str = "CBS",
     w_rank = Window.partitionBy("u").orderBy(F.col("weight").desc(), F.col("v").desc())
     nearest = bidir.withColumn("_rn", F.row_number().over(w_rank)).where(
         F.col("_rn") <= k
-    ).select("u", "v", "weight")
+    ).select("u", "v", "weight").localCheckpoint()
 
     fwd = nearest
     rev = nearest.select(F.col("u").alias("v"), F.col("v").alias("u")).withColumn(

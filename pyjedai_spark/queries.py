@@ -476,6 +476,57 @@ def q_token_count(spark, sf_dir):
                       F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def q_line_dedup(spark, sf_dir):
+    """RefinedWeb/C4-style cross-corpus exact line dedup. The testdata
+    text is single-line, so multi-line docs are derived IDENTICALLY in
+    engine and oracle: every literal ' the ' becomes a newline."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text"))
+    return A.line_dedup(docs, min_count=2, keep_first=True).select(
+        F.col("eid").alias("doc_id"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "clean_text")
+
+
+def q_pii_counts(spark, sf_dir):
+    """PII-shaped substring counts (emails / IPv4 / intl phones) — the
+    scrubbing prefilter; engine-portable regex subset."""
+    return A.pii_counts(_docs(spark, sf_dir)).select(
+        F.col("eid").alias("doc_id"), "n_emails", "n_ipv4", "n_phoneish")
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule document quality gates (word count, mean word
+    length, symbol ratio, alpha-word fraction, stopword presence,
+    bullet/ellipsis line fractions) + pass flag."""
+    return A.gopher_quality(_docs(spark, sf_dir)).select(
+        F.col("eid").alias("doc_id"), "n_words", "mean_word_len",
+        "symbol_ratio", "alpha_word_frac", "n_stopwords",
+        "bullet_line_frac", "ellipsis_line_frac", "passes")
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source corpus stats (doc count, exact-dup fraction, mean
+    length) — the domain-blocklist signal of a crawl pipeline."""
+    return A.source_stats(_docs(spark, sf_dir))
+
+
+def q_events_windowed(spark, sf_dir):
+    """Batch event-time tumbling windows over the events table (the
+    batch twin of streaming/stateful.streaming_windowed_stats): per
+    (1-hour window, event_type) count + value sum."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
 _EMB_DIM = 64  # testdata embeddings are 64-dim at every SF (TESTDATA.md)
 
 
@@ -1116,6 +1167,11 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
+    "line_dedup": q_line_dedup,
+    "pii_counts": q_pii_counts,
+    "gopher_quality": q_gopher_quality,
+    "source_stats": q_source_stats,
+    "events_windowed": q_events_windowed,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_brute_topk": q_ann_brute_topk,
@@ -1589,6 +1645,112 @@ SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, unique_ratio,
            + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0 END), 2)
        AS quality_score
 FROM feat"""
+
+    # line dedup: multi-line docs derived by ' the ' -> newline in BOTH
+    # engines; first-occurrence = (doc_id, pos) order; positions are
+    # 0-based in Spark / 1-based via generate_series here — only the
+    # ORDER matters, which is identical
+    o["line_dedup"] = """WITH base AS (
+  SELECT doc_id, string_split(replace(text, ' the ', chr(10)), chr(10)) AS l
+  FROM documents),
+idx AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS pos FROM base),
+lines AS (
+  SELECT doc_id, pos, trim(l[pos]) AS line FROM idx WHERE trim(l[pos]) <> ''),
+marked AS (
+  SELECT doc_id, pos, line,
+         count(*) OVER (PARTITION BY line) AS cnt,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines),
+kept AS (SELECT doc_id, pos, line FROM marked WHERE cnt < 2 OR rn = 1),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN totals t ON t.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id"""
+
+    o["pii_counts"] = """SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text,
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+         AS n_ipv4,
+       CAST(len(regexp_extract_all(text,
+            '\\+\\d[\\d()\\- ]{7,}\\d')) AS BIGINT) AS n_phoneish
+FROM documents"""
+
+    o["gopher_quality"] = f"""WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
+                     x -> x <> '') AS tl,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ll
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         len(tl) AS n_words,
+         CASE WHEN len(tl) > 0 THEN
+           list_sum(list_transform(tl, x -> len(x))) * 1.0 / len(tl)
+         ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(tl) > 0 THEN
+           (len(regexp_extract_all(text, '#'))
+            + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0 / len(tl)
+         ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN len(tl) > 0 THEN
+           len(list_filter(tl, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0
+             / len(tl)
+         ELSE 0.0 END AS alpha_word_frac,
+         len(list_intersect(list_distinct(tl), {en_arr})) AS n_stopwords,
+         CASE WHEN len(ll) > 0 THEN
+           len(list_filter(ll, x -> starts_with(x, '-')
+                                    OR starts_with(x, '*'))) * 1.0 / len(ll)
+         ELSE 0.0 END AS bullet_line_frac,
+         CASE WHEN len(ll) > 0 THEN
+           len(list_filter(ll, x -> ends_with(x, '...'))) * 1.0 / len(ll)
+         ELSE 0.0 END AS ellipsis_line_frac
+  FROM t)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(alpha_word_frac, 6) AS alpha_word_frac,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       round(bullet_line_frac, 6) AS bullet_line_frac,
+       round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND mean_word_len >= 3 AND mean_word_len <= 10
+                  AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+                  AND n_stopwords >= 2 AND bullet_line_frac < 0.9
+                  AND ellipsis_line_frac < 0.3
+             THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM feat"""
+
+    o["source_stats"] = """WITH d AS (
+  SELECT source, doc_id,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+         len(text) AS l
+  FROM documents),
+fc AS (SELECT fingerprint, count(*) AS c FROM d GROUP BY fingerprint)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CASE WHEN fc.c > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac,
+       round(avg(d.l), 6) AS avg_len
+FROM d JOIN fc ON fc.fingerprint = d.fingerprint
+GROUP BY d.source"""
+
+    o["events_windowed"] = """SELECT
+  time_bucket(INTERVAL '1 hour', ts) AS window_start,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
 
     o["token_count"] = """SELECT doc_id,
        len(list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
@@ -2597,6 +2759,8 @@ ORACLES = _build_oracles()
 _DRIVER_PRIORITY = [
     # changed implementation/oracle this round
     "minhash_lsh_pairs_salted", "audio_decode",
+    "line_dedup", "pii_counts", "gopher_quality",
+    "source_stats", "events_windowed",
     "ann_ivf_topk",
     "sb_block_stats", "ccer_blocks", "ann_topk", "ann_lsh_topk",
     "embedding_dedup", "unique_mapping", "unique_mapping_dist",

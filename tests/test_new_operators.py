@@ -233,3 +233,50 @@ def test_salted_lsh_candidates_identical(spark, docs):
         sample, k=32, bands=8, shingle_size=3, max_bucket=None,
         salted_chunk=3).collect())
     assert plain == salted and len(plain) > 0
+
+
+def test_line_dedup_semantics(spark):
+    from pyjedai_spark.functions import analysis as A
+    docs = spark.createDataFrame(
+        [(0, "keep me\nshared line\nunique a"),
+         (1, "shared line\nunique b"),
+         (2, "shared line"),
+         (3, "   \n  ")],  # only blank lines -> 0 lines
+        "doc_id long, text string")
+    out = {r["eid"]: r for r in A.line_dedup(docs).collect()}
+    assert out[0]["clean_text"] == "keep me\nshared line\nunique a"
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept"] == 3
+    assert out[1]["clean_text"] == "unique b"  # lost the shared line
+    assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["n_lines"] == 0 and out[3]["clean_text"] == ""
+    # keep_first=False removes even the first occurrence
+    out2 = {r["eid"]: r for r in
+            A.line_dedup(docs, keep_first=False).collect()}
+    assert out2[0]["clean_text"] == "keep me\nunique a"
+
+
+def test_pii_counts_semantics(spark):
+    from pyjedai_spark.functions import analysis as A
+    docs = spark.createDataFrame(
+        [(0, "mail a@b.com and c.d+x@e.org, ip 10.0.0.1 tel +1 555 123 4567"),
+         (1, "nothing here")], "doc_id long, text string")
+    out = {r["eid"]: r for r in A.pii_counts(docs).collect()}
+    assert out[0]["n_emails"] == 2
+    assert out[0]["n_ipv4"] == 1
+    assert out[0]["n_phoneish"] == 1
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phoneish"]) == (0, 0, 0)
+
+
+def test_gopher_quality_semantics(spark):
+    from pyjedai_spark.functions import analysis as A
+    good = ("the quick brown fox jumps over that lazy dog with good text "
+            * 10)  # 120 words, stopwords present, alpha
+    bullets = "- one\n- two\n- three"
+    docs = spark.createDataFrame(
+        [(0, good), (1, bullets), (2, "x " * 60)],
+        "doc_id long, text string")
+    out = {r["eid"]: r for r in A.gopher_quality(docs).collect()}
+    assert out[0]["passes"] == 1
+    assert out[1]["bullet_line_frac"] == 1.0 and out[1]["passes"] == 0
+    # 60 one-char words: mean_word_len 1 < 3 -> fail
+    assert out[2]["passes"] == 0
