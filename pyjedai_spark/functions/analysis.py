@@ -203,6 +203,108 @@ def source_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     top_ns: tuple = (2, 3, 4),
+                     dup_ns: tuple = (5, 10)) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1 —
+    public formulation): per document,
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: fraction of line
+      *occurrences* (resp. their characters) that are repeats of an
+      earlier identical line in the same doc,
+    - ``dup_para_frac``: same over paragraphs (blank-line separated),
+    - ``top{n}gram_char_frac`` (n in ``top_ns``): character mass of the
+      most frequent word n-gram over the total n-gram character mass
+      (ties: higher char length wins — deterministic),
+    - ``dup{n}gram_char_frac`` (n in ``dup_ns``): character mass of
+      repeated occurrences of duplicated n-grams over total n-gram
+      character mass.
+
+    Documented deviation from the paper: fractions are over *n-gram
+    character mass* (sum of occurrence-count x joined char length),
+    not raw doc characters — self-consistent, always in [0,1], and
+    exactly SQL-expressible. Occurrences beyond the first count as
+    duplicates (the paper's character-position marking is equivalent
+    for non-overlapping repeats).
+
+    Plan shape (the 100 TB story): every unit (line / paragraph /
+    n-gram) goes through ONE posexplode -> groupBy(eid, kind, unit)
+    count -> groupBy(eid, kind) aggregate -> conditional-agg pivot.
+    All aggregates partial+final (map-side combine); a boilerplate
+    line repeated 10^9 times across docs is still keyed by (eid, ...)
+    so no global hot key exists by construction.
+    """
+    toks = T.tokens(F.col(text_col), distinct=False)
+
+    def _units_lines(splitter):
+        arr = F.filter(F.transform(splitter, lambda s: F.trim(s)),
+                       lambda s: s != "")
+        return arr
+
+    def _ngrams(n):
+        upper = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        arr = F.transform(
+            F.sequence(F.lit(1), upper),
+            lambda i: F.array_join(F.slice(toks, i, n), " "))
+        # typed empty array when the doc has < n tokens
+        return F.when(F.size(toks) >= n, arr).otherwise(F.slice(arr, 1, 0))
+
+    kinds = [("line", _units_lines(F.split(F.col(text_col), "\n"))),
+             ("para", _units_lines(F.split(F.col(text_col), r"\n{2,}")))]
+    kinds += [(f"{n}gram", _ngrams(n)) for n in sorted(set(top_ns) | set(dup_ns))]
+
+    units = None
+    for kind, arr in kinds:
+        part = docs.select(
+            F.col(id_col).alias("eid"),
+            F.lit(kind).alias("kind"),
+            F.explode(arr).alias("unit"))
+        units = part if units is None else units.unionByName(part)
+
+    per_unit = units.groupBy("eid", "kind", "unit").agg(
+        F.count("*").alias("cnt"))
+    per_kind = per_unit.groupBy("eid", "kind").agg(
+        F.sum("cnt").alias("tot_occ"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0))
+        .alias("dup_occ"),
+        F.sum(F.col("cnt") * F.length("unit")).alias("tot_chars"),
+        F.sum(F.when(F.col("cnt") > 1,
+                     (F.col("cnt") - 1) * F.length("unit")).otherwise(0))
+        .alias("dup_chars"),
+        F.max(F.struct(F.col("cnt"), F.length("unit").alias("ulen")))
+        .alias("top"))
+
+    def _frac(num, den):
+        return F.round(
+            F.coalesce(F.max(F.when(F.col("kind") == F.lit(num[0]),
+                                    num[1].cast("double")
+                                    / F.col(den).cast("double"))),
+                       F.lit(0.0)), 6)
+
+    aggs = [
+        _frac(("line", F.col("dup_occ")), "tot_occ").alias("dup_line_frac"),
+        _frac(("line", F.col("dup_chars")), "tot_chars")
+        .alias("dup_line_char_frac"),
+        _frac(("para", F.col("dup_occ")), "tot_occ").alias("dup_para_frac"),
+    ]
+    for n in sorted(top_ns):
+        aggs.append(
+            _frac((f"{n}gram",
+                   F.col("top.cnt") * F.col("top.ulen")), "tot_chars")
+            .alias(f"top{n}gram_char_frac"))
+    for n in sorted(dup_ns):
+        aggs.append(
+            _frac((f"{n}gram", F.col("dup_chars")), "tot_chars")
+            .alias(f"dup{n}gram_char_frac"))
+
+    stats = per_kind.groupBy("eid").agg(*aggs)
+    base = docs.select(F.col(id_col).alias("eid"))
+    out_cols = [c for c in stats.columns if c != "eid"]
+    return base.join(stats, "eid", "left").select(
+        "eid", *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in out_cols])
+
+
 def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Gopher-style document quality gates (Rae et al. 2021, table A1

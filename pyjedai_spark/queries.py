@@ -507,6 +507,18 @@ def q_gopher_quality(spark, sf_dir):
         "bullet_line_frac", "ellipsis_line_frac", "passes")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition signals (dup line/para fractions, top/dup
+    n-gram char fractions). Testdata text is single-line, so multi-line
+    docs are derived IDENTICALLY in engine and oracle: ' of ' becomes a
+    paragraph break, then ' the ' a line break."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(F.replace(F.col("text"), F.lit(" of "), F.lit("\n\n")),
+                  F.lit(" the "), F.lit("\n")).alias("text"))
+    return A.repetition_stats(docs).withColumnRenamed("eid", "doc_id")
+
+
 def q_source_stats(spark, sf_dir):
     """Per-source corpus stats (doc count, exact-dup fraction, mean
     length) — the domain-blocklist signal of a crawl pipeline."""
@@ -1169,6 +1181,7 @@ QUERIES = {
     "token_count": q_token_count,
     "line_dedup": q_line_dedup,
     "pii_counts": q_pii_counts,
+    "repetition_stats": q_repetition_stats,
     "gopher_quality": q_gopher_quality,
     "source_stats": q_source_stats,
     "events_windowed": q_events_windowed,
@@ -1731,6 +1744,78 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
                   AND ellipsis_line_frac < 0.3
              THEN 1 ELSE 0 END AS BIGINT) AS passes
 FROM feat"""
+
+    # repetition stats: one units stream (lines / paragraphs / word
+    # n-grams), per-unit counts, per-kind aggregates, conditional-agg
+    # pivot — mirrors the Spark plan 1:1. Top-ngram tie-break = max
+    # count then max char length, via lexicographic struct max in BOTH
+    # engines.
+    ngram_legs = "\n".join(
+        f"""  UNION ALL
+  SELECT doc_id, '{n}gram',
+         unnest(CASE WHEN len(tl) >= {n} THEN
+           list_transform(generate_series(1, len(tl) - {n} + 1),
+                          i -> array_to_string(tl[i:i+{n}-1], ' '))
+         ELSE [] END) FROM prep"""
+        for n in (2, 3, 4, 5, 10))
+    frac_cols = []
+    for kind, num, den, name in [
+            ("line", "dup_occ", "tot_occ", "dup_line_frac"),
+            ("line", "dup_chars", "tot_chars", "dup_line_char_frac"),
+            ("para", "dup_occ", "tot_occ", "dup_para_frac"),
+            ("2gram", "top.cnt * top.ulen", "tot_chars", "top2gram_char_frac"),
+            ("3gram", "top.cnt * top.ulen", "tot_chars", "top3gram_char_frac"),
+            ("4gram", "top.cnt * top.ulen", "tot_chars", "top4gram_char_frac"),
+            ("5gram", "dup_chars", "tot_chars", "dup5gram_char_frac"),
+            ("10gram", "dup_chars", "tot_chars", "dup10gram_char_frac")]:
+        frac_cols.append(
+            f"    round(coalesce(max(CASE WHEN kind = '{kind}' THEN"
+            f" ({num}) * 1.0 / {den} END), 0.0), 6) AS {name}")
+    o["repetition_stats"] = f"""WITH base AS (
+  SELECT doc_id,
+         replace(replace(text, ' of ', chr(10) || chr(10)),
+                 ' the ', chr(10)) AS text
+  FROM documents),
+prep AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
+                     x -> x <> '') AS tl,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ll,
+         list_filter(list_transform(regexp_split_to_array(text,
+                                    '\\n{{2,}}'), x -> trim(x)),
+                     x -> x <> '') AS pl
+  FROM base),
+units AS (
+  SELECT doc_id, 'line' AS kind, unnest(ll) AS unit FROM prep
+  UNION ALL
+  SELECT doc_id, 'para', unnest(pl) FROM prep
+{ngram_legs}),
+per_unit AS (
+  SELECT doc_id, kind, unit, count(*) AS cnt FROM units GROUP BY 1, 2, 3),
+per_kind AS (
+  SELECT doc_id, kind,
+         sum(cnt) AS tot_occ,
+         sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS dup_occ,
+         sum(cnt * length(unit)) AS tot_chars,
+         sum(CASE WHEN cnt > 1 THEN (cnt - 1) * length(unit)
+             ELSE 0 END) AS dup_chars,
+         max(struct_pack(cnt := cnt, ulen := length(unit))) AS top
+  FROM per_unit GROUP BY 1, 2),
+pv AS (
+  SELECT doc_id,
+{",".join(frac_cols)}
+  FROM per_kind GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(pv.dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(pv.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       coalesce(pv.dup_para_frac, 0.0) AS dup_para_frac,
+       coalesce(pv.top2gram_char_frac, 0.0) AS top2gram_char_frac,
+       coalesce(pv.top3gram_char_frac, 0.0) AS top3gram_char_frac,
+       coalesce(pv.top4gram_char_frac, 0.0) AS top4gram_char_frac,
+       coalesce(pv.dup5gram_char_frac, 0.0) AS dup5gram_char_frac,
+       coalesce(pv.dup10gram_char_frac, 0.0) AS dup10gram_char_frac
+FROM documents d LEFT JOIN pv ON pv.doc_id = d.doc_id"""
 
     o["source_stats"] = """WITH d AS (
   SELECT source, doc_id,
@@ -2759,6 +2844,7 @@ ORACLES = _build_oracles()
 _DRIVER_PRIORITY = [
     # changed implementation/oracle this round
     "minhash_lsh_pairs_salted", "audio_decode",
+    "repetition_stats",
     "line_dedup", "pii_counts", "gopher_quality",
     "source_stats", "events_windowed",
     "ann_ivf_topk",

@@ -267,6 +267,29 @@ def test_pii_counts_semantics(spark):
     assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phoneish"]) == (0, 0, 0)
 
 
+def test_repetition_stats_semantics(spark):
+    from pyjedai_spark.functions import analysis as A
+    docs = spark.createDataFrame(
+        [(0, "aa bb\naa bb\ncc"),           # line 'aa bb' repeated
+         (1, "p one\n\np one\n\np two"),    # para repeated
+         (2, "x y x y x y"),               # top 2-gram 'x y' 3x of 5
+         (3, "")],
+        "doc_id long, text string")
+    out = {r["eid"]: r for r in A.repetition_stats(docs).collect()}
+    # doc0: 3 line occurrences, 1 duplicate -> 1/3; chars: dup 5 of 15
+    assert out[0]["dup_line_frac"] == round(1 / 3, 6)
+    assert out[0]["dup_line_char_frac"] == round(5 / 12, 6)
+    # doc1 paragraphs: 'p one' x2 + 'p two' -> 1 dup of 3
+    assert out[1]["dup_para_frac"] == round(1 / 3, 6)
+    # doc2 2-grams: x y, y x, x y, y x, x y -> top 'x y' cnt 3 len 3;
+    # tot_chars = 5*3 -> 9/15
+    assert out[2]["top2gram_char_frac"] == 0.6
+    assert out[2]["dup_line_frac"] == 0.0  # single line
+    # empty doc -> all zeros, still present
+    assert out[3]["dup_line_frac"] == 0.0
+    assert out[3]["top4gram_char_frac"] == 0.0
+
+
 def test_gopher_quality_semantics(spark):
     from pyjedai_spark.functions import analysis as A
     good = ("the quick brown fox jumps over that lazy dog with good text "
