@@ -1,0 +1,60 @@
+"""URL canonicalization + URL-keyed dedup — the first dedup pass of a
+Common-Crawl-style pipeline (the north rule's corpus is keyed by url;
+crawls re-fetch the same page under trivially-different URLs).
+
+Pure column expressions (JVM codegen, exact DuckDB oracle). The regex
+subset is shared Java-regex / RE2: no lookarounds, no backrefs.
+
+Canonicalization rules (documented, deterministic):
+- scheme and host lowercased; default ports ``:80``/``:443`` stripped
+- fragment dropped
+- tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``)
+- remaining query params sorted bytewise and re-joined with ``&``
+- trailing slashes stripped from the path (path case preserved)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RFC-3986-ish splitter, shared Java/RE2 syntax.
+_URL_RE = (r"^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?"  # 1 scheme
+           r"([^/?#]*)"                            # 2 authority
+           r"([^?#]*)"                             # 3 path
+           r"(?:\?([^#]*))?"                       # 4 query
+           r"(?:#.*)?$")                           # fragment (dropped)
+
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid)(=|$)"
+
+
+def canonical_url(col) -> Column:
+    """Canonical form of a URL column per the module rules."""
+    u = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(u, _URL_RE, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, _URL_RE, 2)), r":(80|443)$", "")
+    path = F.regexp_replace(F.regexp_extract(u, _URL_RE, 3), r"/+$", "")
+    q = F.regexp_extract(u, _URL_RE, 4)
+    params = F.array_sort(F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+    qs = F.array_join(params, "&")
+    return F.concat(
+        F.when(scheme != "", F.concat(scheme, F.lit("://"))).otherwise(F.lit("")),
+        host, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")))
+
+
+def url_dedup(docs: DataFrame, id_col: str = "doc_id",
+              url_col: str = "url") -> DataFrame:
+    """Per doc: its canonical URL and the survivor (min id sharing that
+    canonical URL). One groupBy on the canonical key — partial+final
+    aggregate, then a key-partitioned join back; no windows, no skew
+    sensitivity beyond the aggregate's own map-side combine."""
+    d = docs.select(F.col(id_col).alias("eid"),
+                    canonical_url(url_col).alias("url_canon"))
+    survivors = d.groupBy("url_canon").agg(F.min("eid").alias("survivor"))
+    return d.join(survivors, "url_canon").select(
+        "eid", "url_canon", "survivor",
+        (F.col("eid") != F.col("survivor")).cast("long").alias("is_dup"))

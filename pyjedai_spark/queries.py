@@ -507,6 +507,26 @@ def q_gopher_quality(spark, sf_dir):
         "bullet_line_frac", "ellipsis_line_frac", "passes")
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-keyed dedup. The testdata has no url
+    column, so one is derived IDENTICALLY in engine and oracle from
+    (source, doc_id): uppercase scheme/host + default port + tracking
+    params + fragment variants that all canonicalize together."""
+    from pyjedai_spark.functions import urls as U
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"), F.upper("source"),
+            F.lit(".example.com:443/Crawl/"),
+            (F.col("doc_id") % 50).cast("string"), F.lit("/"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("?utm_source=feed&b=2&a=1#frag"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2"))
+            .otherwise(F.lit(""))).alias("url"))
+    return U.url_dedup(docs).select(
+        F.col("eid").alias("doc_id"), "url_canon", "survivor", "is_dup")
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher repetition signals (dup line/para fractions, top/dup
     n-gram char fractions). Testdata text is single-line, so multi-line
@@ -1182,6 +1202,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "pii_counts": q_pii_counts,
     "repetition_stats": q_repetition_stats,
+    "url_dedup": q_url_dedup,
     "gopher_quality": q_gopher_quality,
     "source_stats": q_source_stats,
     "events_windowed": q_events_windowed,
@@ -1744,6 +1765,47 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
                   AND ellipsis_line_frac < 0.3
              THEN 1 ELSE 0 END AS BIGINT) AS passes
 FROM feat"""
+
+    # url dedup: the derived url + canonicalization replicated 1:1
+    # (scheme/host lower, default port strip, fragment drop, tracking
+    # params drop, param sort — binary collation in both engines)
+    o["url_dedup"] = r"""WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://' || upper(source) || '.example.com:443/Crawl/'
+         || CAST(doc_id % 50 AS VARCHAR) || '/'
+         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1#frag'
+                 WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url,
+      '^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$',
+      1)) AS scheme,
+    regexp_replace(lower(regexp_extract(url,
+      '^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$',
+      2)), ':(80|443)$', '') AS host,
+    regexp_replace(regexp_extract(url,
+      '^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$',
+      3), '/+$', '') AS path,
+    regexp_extract(url,
+      '^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$',
+      4) AS q
+  FROM raw),
+canon AS (
+  SELECT doc_id,
+    (CASE WHEN scheme <> '' THEN scheme || '://' ELSE '' END)
+    || host || path
+    || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS url_canon
+  FROM (SELECT doc_id, scheme, host, path,
+          array_to_string(list_sort(list_filter(string_split(q, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') AS qs
+        FROM parts)),
+surv AS (SELECT url_canon, min(doc_id) AS survivor FROM canon GROUP BY 1)
+SELECT c.doc_id, c.url_canon, s.survivor,
+       CAST(CASE WHEN c.doc_id <> s.survivor THEN 1 ELSE 0 END AS BIGINT)
+         AS is_dup
+FROM canon c JOIN surv s ON s.url_canon = c.url_canon"""
 
     # repetition stats: one units stream (lines / paragraphs / word
     # n-grams), per-unit counts, per-kind aggregates, conditional-agg
@@ -2844,7 +2906,7 @@ ORACLES = _build_oracles()
 _DRIVER_PRIORITY = [
     # changed implementation/oracle this round
     "minhash_lsh_pairs_salted", "audio_decode",
-    "repetition_stats",
+    "repetition_stats", "url_dedup",
     "line_dedup", "pii_counts", "gopher_quality",
     "source_stats", "events_windowed",
     "ann_ivf_topk",

@@ -267,6 +267,24 @@ def test_pii_counts_semantics(spark):
     assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phoneish"]) == (0, 0, 0)
 
 
+def test_url_canonicalization(spark):
+    from pyjedai_spark.functions import urls as U
+    docs = spark.createDataFrame(
+        [(0, "HTTPS://Ex.COM:443/A/b/?utm_source=x&b=2&a=1#frag"),
+         (1, "https://ex.com/A/b?a=1&b=2"),
+         (2, "http://ex.com:80/other"),
+         (3, "ex.com/no-scheme/")],
+        "doc_id long, url string")
+    out = {r["eid"]: r for r in U.url_dedup(docs).collect()}
+    # 0 and 1 canonicalize identically: port+fragment+tracking dropped,
+    # params sorted, trailing slash stripped, scheme/host lowercased
+    assert out[0]["url_canon"] == "https://ex.com/A/b?a=1&b=2"
+    assert out[0]["url_canon"] == out[1]["url_canon"]
+    assert out[0]["survivor"] == 0 and out[1]["is_dup"] == 1
+    assert out[2]["url_canon"] == "http://ex.com/other"
+    assert out[3]["url_canon"] == "ex.com/no-scheme"
+
+
 def test_repetition_stats_semantics(spark):
     from pyjedai_spark.functions import analysis as A
     docs = spark.createDataFrame(
