@@ -73,6 +73,85 @@ def der_dedup_pipeline(docs: DataFrame, id_col: str = "doc_id",
     return clusters
 
 
+def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", url_col: str | None = None,
+                          k: int = 32, bands: int = 8, shingle_size: int = 3,
+                          jaccard_threshold: float = 0.5,
+                          max_bucket: int | None = None) -> DataFrame:
+    """The full training-data cleaning pass in one call — every input
+    doc labeled with what happened to it:
+
+    1. ``url_dup``    — not the min-id doc for its canonical URL
+                        (skipped when ``url_col`` is None)
+    2. ``exact_dup``  — not the min-id doc for its content fingerprint
+    3. ``low_quality``— fails the Gopher quality gate
+    4. ``near_dup``   — MinHash-LSH + exact-Jaccard + connected
+                        components; not the min id of its dup cluster
+    5. ``kept``       — survives everything
+
+    Returns (eid, status, survivor): ``survivor`` is the doc this one
+    defers to (itself when kept; NULL for low_quality — there is no
+    canonical twin, the doc is simply dropped).
+
+    Scale shape: each stage is aggregates + key-partitioned joins over
+    the *remaining* set only (each stage shrinks the data the next one
+    touches — URL and exact dedup are O(n) hash aggregates and remove
+    the bulk of crawl duplicates before the LSH shuffle). Stage
+    boundaries are localCheckpoint-materialized because every stage's
+    survivor set fans out into stage N+1 and the final union.
+    """
+    from .functions import analysis as A
+    from .functions import urls as U
+
+    d = docs.select(F.col(id_col).alias("eid"), F.col(text_col).alias("text"),
+                    *([F.col(url_col).alias("url")] if url_col else []))
+    drops = []
+
+    if url_col:
+        ud = U.url_dedup(d, id_col="eid", url_col="url")
+        drops.append(ud.where(F.col("is_dup") == 1).select(
+            "eid", F.lit("url_dup").alias("status"),
+            F.col("survivor").cast("long").alias("survivor")))
+        d = d.join(ud.where(F.col("is_dup") == 0).select("eid"),
+                   "eid").localCheckpoint()
+
+    ed = DD.exact_dedup(d, id_col="eid", text_col="text")
+    drops.append(ed.where(F.col("keep") == 0).join(
+        ed.where(F.col("keep") == 1).select(
+            "fingerprint", F.col("eid").alias("survivor")), "fingerprint")
+        .select("eid", F.lit("exact_dup").alias("status"),
+                F.col("survivor").cast("long")))
+    d = d.join(ed.where(F.col("keep") == 1).select("eid"),
+               "eid").localCheckpoint()
+
+    gq = A.gopher_quality(d, id_col="eid", text_col="text")
+    drops.append(gq.where(F.col("passes") == 0).select(
+        "eid", F.lit("low_quality").alias("status"),
+        F.lit(None).cast("long").alias("survivor")))
+    d = d.join(gq.where(F.col("passes") == 1).select("eid"),
+               "eid").localCheckpoint()
+
+    cands = DD.lsh_candidate_pairs(d, k=k, bands=bands,
+                                   shingle_size=shingle_size,
+                                   id_col="eid", text_col="text",
+                                   max_bucket=max_bucket)
+    verified = DD.jaccard_verify(cands, d, jaccard_threshold, shingle_size,
+                                 id_col="eid", text_col="text")
+    clusters = CL.connected_components(
+        verified.select("id1", "id2"), nodes=d.select("eid"))
+    drops.append(clusters.where(F.col("cluster_id") != F.col("eid")).select(
+        "eid", F.lit("near_dup").alias("status"),
+        F.col("cluster_id").cast("long").alias("survivor")))
+    kept = clusters.where(F.col("cluster_id") == F.col("eid")).select(
+        "eid", F.lit("kept").alias("status"),
+        F.col("eid").cast("long").alias("survivor"))
+
+    out = kept
+    for dr in drops:
+        out = out.unionByName(dr)
+    return out
+
+
 def minhash_dedup_pipeline(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            k: int = 32, bands: int = 8,

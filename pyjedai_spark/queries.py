@@ -507,6 +507,25 @@ def q_gopher_quality(spark, sf_dir):
         "bullet_line_frac", "ellipsis_line_frac", "passes")
 
 
+def q_corpus_clean(spark, sf_dir):
+    """The full four-stage cleaning pipeline (url dedup -> exact dedup
+    -> Gopher gate -> MinHash-LSH near-dup + CC) with per-doc drop
+    status — derived url column as in url_dedup."""
+    from pyjedai_spark.pipeline import corpus_clean_pipeline
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        F.concat(
+            F.lit("HTTPS://"), F.upper("source"),
+            F.lit(".example.com:443/Crawl/"),
+            (F.col("doc_id") % 50).cast("string"), F.lit("/"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("?utm_source=feed&b=2&a=1#frag"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2"))
+            .otherwise(F.lit(""))).alias("url"))
+    out = corpus_clean_pipeline(docs, url_col="url")
+    return out.select(F.col("eid").alias("doc_id"), "status", "survivor")
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + URL-keyed dedup. The testdata has no url
     column, so one is derived IDENTICALLY in engine and oracle from
@@ -1203,6 +1222,7 @@ QUERIES = {
     "pii_counts": q_pii_counts,
     "repetition_stats": q_repetition_stats,
     "url_dedup": q_url_dedup,
+    "corpus_clean": q_corpus_clean,
     "gopher_quality": q_gopher_quality,
     "source_stats": q_source_stats,
     "events_windowed": q_events_windowed,
@@ -1721,14 +1741,18 @@ LEFT JOIN rebuilt r ON r.doc_id = d.doc_id"""
             '\\+\\d[\\d()\\- ]{7,}\\d')) AS BIGINT) AS n_phoneish
 FROM documents"""
 
-    o["gopher_quality"] = f"""WITH t AS (
+    def _gopher_sql(src: str) -> str:
+        """CTE chain ``g_t -> g_feat -> g_pass`` computing the Gopher
+        signals + pass flag over ``src`` (doc_id, text) — shared by the
+        standalone gopher_quality oracle and corpus_clean."""
+        return f"""g_t AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
                      x -> x <> '') AS tl,
          list_filter(list_transform(string_split(text, chr(10)),
                                     x -> trim(x)), x -> x <> '') AS ll
-  FROM documents),
-feat AS (
+  FROM {src}),
+g_feat AS (
   SELECT doc_id,
          len(tl) AS n_words,
          CASE WHEN len(tl) > 0 THEN
@@ -1750,7 +1774,18 @@ feat AS (
          CASE WHEN len(ll) > 0 THEN
            len(list_filter(ll, x -> ends_with(x, '...'))) * 1.0 / len(ll)
          ELSE 0.0 END AS ellipsis_line_frac
-  FROM t)
+  FROM g_t),
+g_pass AS (
+  SELECT *, CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND mean_word_len >= 3 AND mean_word_len <= 10
+                  AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+                  AND n_stopwords >= 2 AND bullet_line_frac < 0.9
+                  AND ellipsis_line_frac < 0.3
+             THEN 1 ELSE 0 END AS passes
+  FROM g_feat)"""
+
+    o["gopher_quality"] = f"""WITH {_gopher_sql('documents')},
+feat AS (SELECT * FROM g_pass)
 SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
        round(mean_word_len, 6) AS mean_word_len,
        round(symbol_ratio, 6) AS symbol_ratio,
@@ -1806,6 +1841,91 @@ SELECT c.doc_id, c.url_canon, s.survivor,
        CAST(CASE WHEN c.doc_id <> s.survivor THEN 1 ELSE 0 END AS BIGINT)
          AS is_dup
 FROM canon c JOIN surv s ON s.url_canon = c.url_canon"""
+
+    # corpus_clean: the four-stage cleaning pipeline composed from the
+    # individually-proven fragments — url canon (url_dedup), exact
+    # fingerprint, gopher gate (_gopher_sql), minhash-LSH + jaccard +
+    # recursive-CTE connected components (_cc_sql). Each stage filters
+    # the previous stage's survivor set, exactly like the Spark chain.
+    _URL_PAT = (r"'^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?([^/?#]*)"
+                r"([^?#]*)(?:\?([^#]*))?(?:#.*)?$'")
+    o["corpus_clean"] = f"""WITH RECURSIVE raw AS (
+  SELECT doc_id,
+         'HTTPS://' || upper(source) || '.example.com:443/Crawl/'
+         || CAST(doc_id % 50 AS VARCHAR) || '/'
+         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1#frag'
+                 WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END AS url
+  FROM documents),
+cn AS (
+  SELECT doc_id,
+    (CASE WHEN scheme <> '' THEN scheme || '://' ELSE '' END) || host || path
+    || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS url_canon
+  FROM (SELECT doc_id, scheme, host, path,
+          array_to_string(list_sort(list_filter(string_split(q, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') AS qs
+        FROM (SELECT doc_id,
+                lower(regexp_extract(url, {_URL_PAT}, 1)) AS scheme,
+                regexp_replace(lower(regexp_extract(url, {_URL_PAT}, 2)),
+                               ':(80|443)$', '') AS host,
+                regexp_replace(regexp_extract(url, {_URL_PAT}, 3),
+                               '/+$', '') AS path,
+                regexp_extract(url, {_URL_PAT}, 4) AS q
+              FROM raw))),
+usurv AS (SELECT url_canon, min(doc_id) AS survivor FROM cn GROUP BY 1),
+url_drop AS (
+  SELECT c.doc_id, s.survivor FROM cn c
+  JOIN usurv s ON s.url_canon = c.url_canon WHERE c.doc_id <> s.survivor),
+rem1 AS (
+  SELECT c.doc_id FROM cn c
+  JOIN usurv s ON s.url_canon = c.url_canon WHERE c.doc_id = s.survivor),
+eh AS (
+  SELECT d.doc_id,
+         md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS fp
+  FROM documents d JOIN rem1 ON rem1.doc_id = d.doc_id),
+es AS (SELECT fp, min(doc_id) AS m FROM eh GROUP BY fp),
+exact_drop AS (
+  SELECT eh.doc_id, es.m FROM eh JOIN es ON es.fp = eh.fp
+  WHERE eh.doc_id <> es.m),
+rem2 AS (SELECT doc_id FROM eh JOIN es ON es.fp = eh.fp WHERE doc_id = m),
+g_src AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN rem2 ON rem2.doc_id = d.doc_id),
+{_gopher_sql('g_src')},
+q_drop AS (SELECT doc_id FROM g_pass WHERE passes = 0),
+rem3 AS (SELECT doc_id FROM g_pass WHERE passes = 1),
+{_tokhash_sql(3)},
+{_minhash_sig_sql(32)},
+{_bands_sql(8, 4)},
+ccand AS (
+  SELECT DISTINCT a.eid AS id1, b.eid AS id2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.eid < b.eid
+  JOIN rem3 r1 ON r1.doc_id = a.eid JOIN rem3 r2 ON r2.doc_id = b.eid),
+cver AS (
+  SELECT id1, id2 FROM (
+    SELECT c.id1, c.id2,
+           round(len(list_intersect(x.sl, y.sl)) * 1.0
+                 / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl))), 6)
+           AS jaccard
+    FROM ccand c JOIN hx x ON x.eid = c.id1 JOIN hx y ON y.eid = c.id2)
+  WHERE jaccard >= 0.5),
+{_cc_sql('cver')},
+clus AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+nd_drop AS (
+  SELECT c.doc_id, c.cluster_id FROM clus c
+  JOIN rem3 ON rem3.doc_id = c.doc_id WHERE c.cluster_id <> c.doc_id),
+kept AS (
+  SELECT c.doc_id FROM clus c
+  JOIN rem3 ON rem3.doc_id = c.doc_id WHERE c.cluster_id = c.doc_id)
+SELECT doc_id, 'kept' AS status, CAST(doc_id AS BIGINT) AS survivor FROM kept
+UNION ALL
+SELECT doc_id, 'url_dup', CAST(survivor AS BIGINT) FROM url_drop
+UNION ALL
+SELECT doc_id, 'exact_dup', CAST(m AS BIGINT) FROM exact_drop
+UNION ALL
+SELECT doc_id, 'low_quality', CAST(NULL AS BIGINT) FROM q_drop
+UNION ALL
+SELECT doc_id, 'near_dup', CAST(cluster_id AS BIGINT) FROM nd_drop"""
 
     # repetition stats: one units stream (lines / paragraphs / word
     # n-grams), per-unit counts, per-kind aggregates, conditional-agg
@@ -2906,7 +3026,7 @@ ORACLES = _build_oracles()
 _DRIVER_PRIORITY = [
     # changed implementation/oracle this round
     "minhash_lsh_pairs_salted", "audio_decode",
-    "repetition_stats", "url_dedup",
+    "repetition_stats", "url_dedup", "corpus_clean",
     "line_dedup", "pii_counts", "gopher_quality",
     "source_stats", "events_windowed",
     "ann_ivf_topk",

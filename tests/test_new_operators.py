@@ -267,6 +267,28 @@ def test_pii_counts_semantics(spark):
     assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phoneish"]) == (0, 0, 0)
 
 
+def test_corpus_clean_pipeline(spark):
+    from pyjedai_spark.pipeline import corpus_clean_pipeline
+    base = ("the quick brown fox jumps over that lazy dog with good text "
+            * 10).strip()
+    rows = [
+        (0, base, "https://a.com/p?x=1"),
+        (1, base, "HTTPS://A.COM:443/p/?x=1#frag"),   # url dup of 0
+        (2, base, "https://b.com/p"),                  # exact dup of 0
+        (3, base + " plus tail", "https://c.com/p"),   # near dup of 0
+        (4, "x y z", "https://d.com/p"),               # fails gopher
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = {r["eid"]: (r["status"], r["survivor"])
+           for r in corpus_clean_pipeline(docs, url_col="url").collect()}
+    assert out[0] == ("kept", 0)
+    assert out[1] == ("url_dup", 0)
+    assert out[2] == ("exact_dup", 0)
+    assert out[3] == ("near_dup", 0)
+    assert out[4][0] == "low_quality" and out[4][1] is None
+    assert len(out) == 5  # every input doc labeled exactly once
+
+
 def test_url_canonicalization(spark):
     from pyjedai_spark.functions import urls as U
     docs = spark.createDataFrame(
