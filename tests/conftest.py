@@ -33,7 +33,8 @@ def duck():
     import duckdb
 
     con = duckdb.connect()
-    for t in ["documents", "embeddings", "lineitem", "orders", "customer"]:
+    for t in ["documents", "embeddings", "lineitem", "orders", "customer",
+              "events", "region", "nation", "supplier", "part"]:
         con.execute(
             f"create view {t} as select * from read_parquet('{SF_DIR}/{t}.parquet')"
         )
