@@ -507,6 +507,16 @@ def q_gopher_quality(spark, sf_dir):
         "bullet_line_frac", "ellipsis_line_frac", "passes")
 
 
+def q_meta_factory_wnp(spark, sf_dir):
+    """get_meta_blocking_approach acronym dispatch (the reference's
+    config surface, comparison_cleaning.py:1088-1124) — WNP via the
+    factory; shares weighted_node_pruning's oracle, so a factory
+    routing bug shows up as a value mismatch."""
+    p = BB.standard_blocking(_docs(spark, sf_dir))
+    e = CC.get_meta_blocking_approach("WNP", p, scheme="CBS")
+    return e.select("id1", "id2", F.round("weight", 6).alias("weight"))
+
+
 def q_corpus_clean(spark, sf_dir):
     """The full four-stage cleaning pipeline (url dedup -> exact dedup
     -> Gopher gate -> MinHash-LSH near-dup + CC) with per-doc drop
@@ -1223,6 +1233,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "url_dedup": q_url_dedup,
     "corpus_clean": q_corpus_clean,
+    "meta_factory_wnp": q_meta_factory_wnp,
     "gopher_quality": q_gopher_quality,
     "source_stats": q_source_stats,
     "events_windowed": q_events_windowed,
@@ -1400,6 +1411,9 @@ st AS (SELECT node, avg(w) AS s FROM bidir GROUP BY node)
 SELECT e.id1, e.id2, round(e.w, 6) AS weight
 FROM e JOIN st s1 ON s1.node = e.id1 JOIN st s2 ON s2.node = e.id2
 WHERE e.w >= s1.s - {EPS} OR e.w >= s2.s - {EPS}"""
+
+    # factory dispatch must be output-identical to calling WNP directly
+    o["meta_factory_wnp"] = o["wnp_cbs"]
 
     o["rwnp_js"] = f"""WITH {SB},
 {_edges_sql('sb', 'JS')},
@@ -3026,7 +3040,7 @@ ORACLES = _build_oracles()
 _DRIVER_PRIORITY = [
     # changed implementation/oracle this round
     "minhash_lsh_pairs_salted", "audio_decode",
-    "repetition_stats", "url_dedup", "corpus_clean",
+    "repetition_stats", "url_dedup", "corpus_clean", "meta_factory_wnp",
     "line_dedup", "pii_counts", "gopher_quality",
     "source_stats", "events_windowed",
     "ann_ivf_topk",
