@@ -306,6 +306,58 @@ def substring_fingerprint_pairs(docs: DataFrame, w: int = 20,
     )
 
 
+def duplicate_spans(docs: DataFrame, w: int = 10,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    min_span_tokens: int | None = None) -> DataFrame:
+    """Maximal duplicated spans between doc pairs — the long-span
+    output suffix-array dedup exists for (north rule): every maximal
+    run of consecutive shared w-token windows between two docs is
+    merged into one span.
+
+    Returns (id1, id2, start1, start2, span_tokens): 0-based token
+    offsets in each doc and the merged span length in tokens
+    (>= ``min_span_tokens``, default w).
+
+    Plan: positional rolling fingerprints (posexplode, one scan) ->
+    fingerprint equi-join (the only all-to-all step, keyed by window
+    hash exactly like substring_fingerprint_pairs) -> gaps-and-islands
+    merge per (id1, id2, diagonal) via a window function. The window
+    partitions by doc PAIR + diagonal, so partition size is bounded by
+    one pair's match count — no global or per-doc hot partition.
+    """
+    min_span = w if min_span_tokens is None else min_span_tokens
+    toks = T.tokens(F.col(text_col), distinct=False)
+    pw = ensure_parallelism(docs).select(
+        F.col(id_col).alias("eid"),
+        F.posexplode(T.word_shingles(toks, w)).alias("pos", "win"),
+    ).select("eid", "pos", F.md5("win").alias("key"))
+    a1 = pw.select("key", F.col("eid").alias("id1"), F.col("pos").alias("pos1"))
+    a2 = pw.select("key", F.col("eid").alias("id2"), F.col("pos").alias("pos2"))
+    m = (
+        a1.join(a2, "key")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "pos1", "pos2")
+        .distinct()
+        .withColumn("d", F.col("pos1") - F.col("pos2"))
+    )
+    from pyspark.sql import Window
+
+    isl = Window.partitionBy("id1", "id2", "d").orderBy("pos1")
+    return (
+        m.withColumn("grp", F.col("pos1") - F.row_number().over(isl))
+        .groupBy("id1", "id2", "d", "grp")
+        .agg(F.min("pos1").alias("start1"), F.max("pos1").alias("_end1"))
+        .select(
+            "id1", "id2",
+            F.col("start1").cast("long"),
+            (F.col("start1") - F.col("d")).cast("long").alias("start2"),
+            (F.col("_end1") - F.col("start1") + w).cast("long")
+            .alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_span)
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """n-gram-shingle Jaccard near-dup via the token-join pattern (no

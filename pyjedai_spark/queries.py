@@ -431,6 +431,12 @@ def q_substring_dedup(spark, sf_dir):
                                           max_bucket=None)
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Maximal duplicated spans (merged runs of shared 10-token
+    windows) between doc pairs — the long-span dedup output."""
+    return DD.duplicate_spans(_docs(spark, sf_dir), w=10)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
 
@@ -1221,6 +1227,7 @@ QUERIES = {
     "simhash_signatures": q_simhash_signatures,
     "simhash_pairs": q_simhash_pairs,
     "substring_dedup": q_substring_dedup,
+    "duplicate_spans": q_duplicate_spans,
     "ngram_jaccard": q_ngram_jaccard,
     "ejoin_cosine": q_ejoin_cosine,
     "topk_join": q_topk_join,
@@ -1605,6 +1612,34 @@ wins AS (
 SELECT a.eid AS id1, b.eid AS id2, count(*) AS shared_windows
 FROM wins a JOIN wins b ON a.key = b.key AND a.eid < b.eid
 GROUP BY 1, 2"""
+
+    # duplicate spans: positional windows (0-based pos = i-1), match
+    # join, gaps-and-islands merge per (pair, diagonal) — the same
+    # row_number trick in both engines
+    o["duplicate_spans"] = """WITH t AS (
+  SELECT doc_id AS eid,
+         list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
+                     x -> x <> '') AS tl
+  FROM documents),
+pw AS (
+  SELECT eid, i - 1 AS pos,
+         md5(array_to_string(tl[i:i+9], ' ')) AS key
+  FROM (SELECT eid, tl, unnest(range(1, len(tl) - 10 + 2)) AS i
+        FROM t WHERE len(tl) >= 10)),
+m AS (
+  SELECT DISTINCT a.eid AS id1, b.eid AS id2, a.pos AS pos1, b.pos AS pos2
+  FROM pw a JOIN pw b ON a.key = b.key AND a.eid < b.eid),
+isl AS (
+  SELECT id1, id2, pos1 - pos2 AS d, pos1,
+         pos1 - row_number() OVER (PARTITION BY id1, id2, pos1 - pos2
+                                   ORDER BY pos1) AS grp
+  FROM m)
+SELECT id1, id2,
+       CAST(min(pos1) AS BIGINT) AS start1,
+       CAST(min(pos1) - d AS BIGINT) AS start2,
+       CAST(max(pos1) - min(pos1) + 10 AS BIGINT) AS span_tokens
+FROM isl GROUP BY id1, id2, d, grp
+HAVING max(pos1) - min(pos1) + 10 >= 10"""
 
     o["ngram_jaccard"] = """WITH t AS (
   SELECT doc_id AS eid,
@@ -3041,6 +3076,7 @@ _DRIVER_PRIORITY = [
     # changed implementation/oracle this round
     "minhash_lsh_pairs_salted", "audio_decode",
     "repetition_stats", "url_dedup", "corpus_clean", "meta_factory_wnp",
+    "duplicate_spans",
     "line_dedup", "pii_counts", "gopher_quality",
     "source_stats", "events_windowed",
     "ann_ivf_topk",

@@ -267,6 +267,22 @@ def test_pii_counts_semantics(spark):
     assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phoneish"]) == (0, 0, 0)
 
 
+def test_duplicate_spans_semantics(spark):
+    from pyjedai_spark.operators import dedup as DD
+    shared = " ".join(f"w{i}" for i in range(15))       # 15-token span
+    docs = spark.createDataFrame(
+        [(0, "a b c " + shared + " x y z"),
+         (1, "p q " + shared + " r s"),
+         (2, "completely different text here with nothing shared at all ok")],
+        "doc_id long, text string")
+    out = DD.duplicate_spans(docs, w=10).collect()
+    assert len(out) == 1  # consecutive windows merged into ONE span
+    r = out[0]
+    assert (r["id1"], r["id2"]) == (0, 1)
+    # doc0 tokens: a b c (3) then span at pos 3; doc1: p q (2), span at 2
+    assert (r["start1"], r["start2"], r["span_tokens"]) == (3, 2, 15)
+
+
 def test_corpus_clean_pipeline(spark):
     from pyjedai_spark.pipeline import corpus_clean_pipeline
     base = ("the quick brown fox jumps over that lazy dog with good text "
