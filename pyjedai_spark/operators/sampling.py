@@ -1,0 +1,75 @@
+"""Corpus sampling / quota operators for a crawl pipeline.
+
+The core primitive is ``per_key_top_n`` — EXACT smallest-N rows per key
+WITHOUT a per-key window sort. The naive
+``row_number() OVER (PARTITION BY key ORDER BY ord)`` funnels every row
+of a key through one task; a boilerplate-heavy domain with 10^9 pages
+is a guaranteed straggler at crawl scale. Here the order column is
+bucketed into a fixed-width histogram first:
+
+1. count rows per (key, bucket) — map-side-combining aggregate;
+2. per key, a cumulative scan over at most 4096 rows (the
+   window partition is bounded by the HISTOGRAM width, never by data
+   size) finds the threshold bucket where the N-th row falls;
+3. rows in buckets strictly below the threshold pass wholesale; only
+   the rows INSIDE the single threshold bucket (≈ rows_of_key /
+   4096 of them for a hash-uniform order column) are exactly
+   ranked to fill the remainder.
+
+Output is bit-identical to the naive window (same total order), proven
+by sharing the plain ``row_number`` DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def per_key_top_n(df: DataFrame, key_col: str, ord_col: str,
+                  n: int) -> DataFrame:
+    """Exact N smallest rows per key by (ord_col asc) — ties must be
+    impossible in ``ord_col`` (use a unique tiebreak suffix); the
+    4096-bucket histogram split keeps every window partition ≤
+    max(4096, threshold-bucket population)."""
+    o = F.col(ord_col)
+    # bucket by a prefix of the ORDER value itself so bucket order ==
+    # value order (required for the cumulative scan). Orders are
+    # fixed-length lowercase hex strings (md5); the first 3 hex chars
+    # give 4096 buckets whose numeric order matches the string order.
+    d = df.withColumn(
+        "_b", F.conv(F.substring(o, 1, 3), 16, 10).cast("int"))
+    hist = d.groupBy(key_col, "_b").agg(F.count("*").alias("_c"))
+    wk = Window.partitionBy(key_col).orderBy("_b")  # ≤ 4096 rows/key
+    cum = hist.withColumn("_cum", F.sum("_c").over(wk))
+    # threshold bucket: first with cumulative >= n
+    thr = (cum.where(F.col("_cum") >= n)
+           .groupBy(key_col).agg(F.min("_b").alias("_tb")))
+    # rows below threshold bucket (or keys that never reach n) pass
+    below_info = (cum.join(thr, key_col, "left")
+                  .withColumn("_prev", F.col("_cum") - F.col("_c")))
+    passed = (d.join(thr, key_col, "left")
+              .where(F.col("_tb").isNull() | (F.col("_b") < F.col("_tb"))))
+    # inside the threshold bucket: exact rank, fill the remainder
+    prev_cnt = (below_info
+                .where(F.col("_b") == F.col("_tb"))
+                .select(key_col, "_tb", "_prev"))
+    win_in = Window.partitionBy(key_col).orderBy(o)  # ONLY threshold-bucket rows
+    inside = (d.join(prev_cnt, key_col)
+              .where(F.col("_b") == F.col("_tb"))
+              .withColumn("_rn", F.row_number().over(win_in))
+              .where(F.col("_rn") + F.col("_prev") <= n))
+    out_cols = df.columns
+    return passed.select(*out_cols).unionByName(inside.select(*out_cols))
+
+
+def source_quota_sample(docs: DataFrame, quota: int,
+                        id_col: str = "doc_id",
+                        source_col: str = "source") -> DataFrame:
+    """Keep at most ``quota`` docs per source (domain), selected
+    deterministically by md5(doc_id) — the standard per-domain cap of a
+    crawl pipeline, exact and reproducible. Returns the surviving rows
+    of ``docs`` (all columns)."""
+    keyed = docs.withColumn("_ord", F.md5(F.col(id_col).cast("string")))
+    out = per_key_top_n(keyed, source_col, "_ord", quota)
+    return out.drop("_ord")

@@ -431,6 +431,15 @@ def q_substring_dedup(spark, sf_dir):
                                           max_bucket=None)
 
 
+def q_source_quota(spark, sf_dir):
+    """Per-source quota sampling (cap 12 docs per source by md5(id)
+    order) via the histogram-split exact top-N — output identical to
+    the naive per-key window, which is what the oracle runs."""
+    from pyjedai_spark.operators.sampling import source_quota_sample
+    out = source_quota_sample(_docs(spark, sf_dir), quota=12)
+    return out.select("doc_id", "source")
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Maximal duplicated spans (merged runs of shared 10-token
     windows) between doc pairs — the long-span dedup output."""
@@ -1228,6 +1237,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "substring_dedup": q_substring_dedup,
     "duplicate_spans": q_duplicate_spans,
+    "source_quota": q_source_quota,
     "ngram_jaccard": q_ngram_jaccard,
     "ejoin_cosine": q_ejoin_cosine,
     "topk_join": q_topk_join,
@@ -1612,6 +1622,15 @@ wins AS (
 SELECT a.eid AS id1, b.eid AS id2, count(*) AS shared_windows
 FROM wins a JOIN wins b ON a.key = b.key AND a.eid < b.eid
 GROUP BY 1, 2"""
+
+    # source quota: the oracle is the NAIVE per-key window — the
+    # histogram-split implementation must reproduce it bit-for-bit
+    o["source_quota"] = """SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents)
+WHERE rn <= 12"""
 
     # duplicate spans: positional windows (0-based pos = i-1), match
     # join, gaps-and-islands merge per (pair, diagonal) — the same
@@ -3076,7 +3095,7 @@ _DRIVER_PRIORITY = [
     # changed implementation/oracle this round
     "minhash_lsh_pairs_salted", "audio_decode",
     "repetition_stats", "url_dedup", "corpus_clean", "meta_factory_wnp",
-    "duplicate_spans",
+    "duplicate_spans", "source_quota",
     "line_dedup", "pii_counts", "gopher_quality",
     "source_stats", "events_windowed",
     "ann_ivf_topk",

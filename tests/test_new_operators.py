@@ -267,6 +267,26 @@ def test_pii_counts_semantics(spark):
     assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phoneish"]) == (0, 0, 0)
 
 
+def test_per_key_top_n_matches_naive_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyjedai_spark.operators.sampling import per_key_top_n
+    rows = [(k, i) for k, sz in [("a", 5), ("b", 40), ("c", 200)]
+            for i in range(sz)]
+    df = spark.createDataFrame(rows, "key string, id long") \
+        .withColumn("_ord", F.md5(F.col("id").cast("string")))
+    got = set((r["key"], r["id"]) for r in
+              per_key_top_n(df, "key", "_ord", 25).collect())
+    w = Window.partitionBy("key").orderBy("_ord")
+    want = set((r["key"], r["id"]) for r in
+               df.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") <= 25).collect())
+    assert got == want
+    assert sum(1 for k, _ in got if k == "a") == 5   # under-quota key intact
+    assert sum(1 for k, _ in got if k == "b") == 25
+    assert sum(1 for k, _ in got if k == "c") == 25
+
+
 def test_duplicate_spans_semantics(spark):
     from pyjedai_spark.operators import dedup as DD
     shared = " ".join(f"w{i}" for i in range(15))       # 15-token span
