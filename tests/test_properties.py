@@ -109,6 +109,28 @@ def test_line_dedup_conservation(texts, min_count):
 
 
 @settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+                min_size=1, max_size=300, unique=True),
+       st.integers(min_value=1, max_value=40))
+def test_per_key_top_n_equals_naive(rows, n):
+    """Histogram-split exact top-N == naive per-key window for random
+    key distributions and quotas (incl. quota > key size, quota
+    landing mid-bucket)."""
+    from pyspark.sql import Window
+    from pyjedai_spark.operators.sampling import per_key_top_n
+    spark = get_spark()
+    df = spark.createDataFrame(rows, "key long, id long") \
+        .withColumn("_ord", F.md5(F.col("id").cast("string")))
+    got = {(r["key"], r["id"])
+           for r in per_key_top_n(df, "key", "_ord", n).collect()}
+    w = Window.partitionBy("key").orderBy("_ord")
+    want = {(r["key"], r["id"])
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= n).collect()}
+    assert got == want
+
+
+@settings(**_SETTINGS)
 @given(st.lists(_doc, min_size=2, max_size=10),
        st.floats(min_value=0.2, max_value=0.9))
 def test_jaccard_verify_subset_of_exact(texts, threshold):
