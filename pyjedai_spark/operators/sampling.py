@@ -41,7 +41,10 @@ def per_key_top_n(df: DataFrame, key_col: str, ord_col: str,
         "_b", F.conv(F.substring(o, 1, 3), 16, 10).cast("int"))
     hist = d.groupBy(key_col, "_b").agg(F.count("*").alias("_c"))
     wk = Window.partitionBy(key_col).orderBy("_b")  # ≤ 4096 rows/key
-    cum = hist.withColumn("_cum", F.sum("_c").over(wk))
+    # cum fans out into thr + below_info: materialize the (small,
+    # ≤ keys×4096-row) histogram once or the full-corpus aggregate
+    # re-runs per consumer — .explain showed it 3× unmaterialized
+    cum = hist.withColumn("_cum", F.sum("_c").over(wk)).localCheckpoint()
     # threshold bucket: first with cumulative >= n
     thr = (cum.where(F.col("_cum") >= n)
            .groupBy(key_col).agg(F.min("_b").alias("_tb")))
