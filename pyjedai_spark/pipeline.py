@@ -77,7 +77,9 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", url_col: str | None = None,
                           k: int = 32, bands: int = 8, shingle_size: int = 3,
                           jaccard_threshold: float = 0.5,
-                          max_bucket: int | None = None) -> DataFrame:
+                          max_bucket: int | None = None,
+                          ckpt: CheckpointManager | None = None,
+                          fingerprint: str = "") -> DataFrame:
     """The full training-data cleaning pass in one call — every input
     doc labeled with what happened to it:
 
@@ -97,11 +99,16 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
     the *remaining* set only (each stage shrinks the data the next one
     touches — URL and exact dedup are O(n) hash aggregates and remove
     the bulk of crawl duplicates before the LSH shuffle). Stage
-    boundaries are localCheckpoint-materialized because every stage's
+    boundaries are materialized (CheckpointManager stages when ``ckpt``
+    is given — durable, resumable mid-run with lineage metrics like the
+    other pipelines — else localCheckpoint) because every stage's
     survivor set fans out into stage N+1 and the final union.
     """
     from .functions import analysis as A
     from .functions import urls as U
+
+    spark = docs.sparkSession
+    ck = ckpt or CheckpointManager("", enabled=False)
 
     d = docs.select(F.col(id_col).alias("eid"), F.col(text_col).alias("text"),
                     *([F.col(url_col).alias("url")] if url_col else []))
@@ -112,8 +119,11 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
         drops.append(ud.where(F.col("is_dup") == 1).select(
             "eid", F.lit("url_dup").alias("status"),
             F.col("survivor").cast("long").alias("survivor")))
-        d = d.join(ud.where(F.col("is_dup") == 0).select("eid"),
-                   "eid").localCheckpoint()
+        d0 = d
+        d = ck.stage(spark, "clean_url",
+                     lambda: d0.join(
+                         ud.where(F.col("is_dup") == 0).select("eid"), "eid"),
+                     fingerprint)
 
     ed = DD.exact_dedup(d, id_col="eid", text_col="text")
     drops.append(ed.where(F.col("keep") == 0).join(
@@ -121,15 +131,21 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
             "fingerprint", F.col("eid").alias("survivor")), "fingerprint")
         .select("eid", F.lit("exact_dup").alias("status"),
                 F.col("survivor").cast("long")))
-    d = d.join(ed.where(F.col("keep") == 1).select("eid"),
-               "eid").localCheckpoint()
+    d1 = d
+    d = ck.stage(spark, "clean_exact",
+                 lambda: d1.join(
+                     ed.where(F.col("keep") == 1).select("eid"), "eid"),
+                 fingerprint)
 
     gq = A.gopher_quality(d, id_col="eid", text_col="text")
     drops.append(gq.where(F.col("passes") == 0).select(
         "eid", F.lit("low_quality").alias("status"),
         F.lit(None).cast("long").alias("survivor")))
-    d = d.join(gq.where(F.col("passes") == 1).select("eid"),
-               "eid").localCheckpoint()
+    d2 = d
+    d = ck.stage(spark, "clean_quality",
+                 lambda: d2.join(
+                     gq.where(F.col("passes") == 1).select("eid"), "eid"),
+                 fingerprint)
 
     cands = DD.lsh_candidate_pairs(d, k=k, bands=bands,
                                    shingle_size=shingle_size,

@@ -325,6 +325,29 @@ def test_corpus_clean_pipeline(spark):
     assert len(out) == 5  # every input doc labeled exactly once
 
 
+def test_corpus_clean_resumes_from_checkpoint(spark, tmp_path):
+    from pyjedai_spark.checkpoint import CheckpointManager
+    from pyjedai_spark.pipeline import corpus_clean_pipeline
+    base = ("the quick brown fox jumps over that lazy dog with good text "
+            * 10).strip()
+    docs = spark.createDataFrame(
+        [(0, base, "https://a.com/p"), (1, base, "HTTPS://A.COM/p/"),
+         (2, "tiny", "https://b.com/x")],
+        "doc_id long, text string, url string")
+    ck = CheckpointManager(str(tmp_path / "ck"))
+    first = sorted(map(tuple, corpus_clean_pipeline(
+        docs, url_col="url", ckpt=ck, fingerprint="v1").collect()))
+    import os
+    stages = {f for f in os.listdir(tmp_path / "ck")
+              if f.endswith("._lineage.json")}
+    assert {"clean_url._lineage.json", "clean_exact._lineage.json",
+            "clean_quality._lineage.json"} <= stages
+    # second run resumes from the persisted survivor sets, same output
+    again = sorted(map(tuple, corpus_clean_pipeline(
+        docs, url_col="url", ckpt=ck, fingerprint="v1").collect()))
+    assert first == again
+
+
 def test_url_canonicalization(spark):
     from pyjedai_spark.functions import urls as U
     docs = spark.createDataFrame(
