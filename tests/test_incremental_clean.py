@@ -65,6 +65,26 @@ def test_incremental_clean_in_batch_chain(spark, tmp_path):
         assert got[12][1] == 10
 
 
+def test_incremental_clean_stream_wiring(spark, tmp_path):
+    """End-to-end through Structured Streaming: readStream ->
+    foreachBatch(process_clean_increment) with availableNow."""
+    from pyjedai_spark.streaming.incremental_clean import (
+        incremental_clean_stream)
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(0, GOOD, "https://a.com/p"), (1, GOOD, "HTTPS://A.COM/p/")],
+        "doc_id long, text string, url string").write.parquet(inp)
+    q = incremental_clean_stream(
+        spark, inp, str(tmp_path / "state"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        schema="doc_id long, text string, url string", url_col="url")
+    q.awaitTermination(300)
+    res = {r["eid"]: r["status"] for r in
+           spark.read.option("basePath", str(tmp_path / "out"))
+           .parquet(str(tmp_path / "out")).collect()}
+    assert res == {0: "kept", 1: "url_dup"}
+
+
 def test_incremental_clean_retry_idempotent(spark, tmp_path):
     batches = [
         [(0, GOOD, "https://a.com/p")],
