@@ -130,6 +130,41 @@ def test_per_key_top_n_equals_naive(rows, n):
     assert got == want
 
 
+_GOOD = ("the quick brown fox jumps over that lazy dog with good text "
+         * 10).strip()
+_GOOD2 = ("a different page of prose that still has the usual function "
+          "words in it and is long enough to clear the gate " * 6).strip()
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(
+    st.sampled_from([_GOOD, _GOOD2, "short junk"]),
+    st.lists(_word, min_size=0, max_size=3),
+    st.integers(0, 4)), min_size=1, max_size=8))
+def test_corpus_clean_partitions_input(specs):
+    """corpus_clean labels every input doc exactly once; survivors
+    always point at a smaller-or-equal input id (kept -> itself,
+    low_quality -> NULL)."""
+    from pyjedai_spark.pipeline import corpus_clean_pipeline
+    spark = get_spark()
+    rows = [(i, base + (" " + " ".join(tail) if tail else ""),
+             f"https://host{u}.com/p")
+            for i, (base, tail, u) in enumerate(specs)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = corpus_clean_pipeline(docs, url_col="url").collect()
+    ids = {r["eid"] for r in out}
+    assert ids == set(range(len(rows))) and len(out) == len(rows)
+    for r in out:
+        if r["status"] == "kept":
+            assert r["survivor"] == r["eid"]
+        elif r["status"] == "low_quality":
+            assert r["survivor"] is None
+        else:
+            assert r["survivor"] is not None and r["survivor"] < r["eid"]
+            assert r["survivor"] in ids
+
+
 @settings(**_SETTINGS)
 @given(st.lists(_doc, min_size=2, max_size=10),
        st.floats(min_value=0.2, max_value=0.9))
