@@ -101,6 +101,15 @@ def main() -> None:
         gc.collect()
         spark.catalog.clearCache()
 
+    # corpus_clean measured SEPARATELY (extra key, not in the headline
+    # total — keeps `value` comparable with earlier rounds whose set
+    # didn't include it)
+    t0 = time.perf_counter()
+    _force(QUERIES["corpus_clean"](spark, sf_dir))
+    corpus_clean_sec = round(time.perf_counter() - t0, 3)
+    gc.collect()
+    spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     flagship = timings["der_dedup_clusters"]
     out = {
@@ -111,6 +120,7 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs,
         "docs_per_sec_flagship": round(n_docs / flagship, 2) if flagship else None,
+        "corpus_clean_sec": corpus_clean_sec,
     }
     print(json.dumps(out))
     spark.stop()
