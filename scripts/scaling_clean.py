@@ -40,7 +40,13 @@ def worker(corpus: str, cores: int) -> None:
         "eid",
         F.replace(F.replace(F.col("text"), F.lit("data"), F.lit("the")),
                   F.lit("web"), F.lit("for")).alias("text"),
-        "url")
+        # the generator repeats its URL pool across corpus chunks, which
+        # would let the (cheap, O(n)-aggregate) URL stage absorb 95% of
+        # the corpus; suffix with eid so the EXPENSIVE stages (quality
+        # gate, LSH near-dup) process the full volume — that is the
+        # scaling being evidenced
+        F.concat(F.col("url"), F.lit("?eid="),
+                 F.col("eid").cast("string")).alias("url"))
     n_docs = docs.count()  # warm the scan; excluded from the timed window
 
     t0 = time.perf_counter()
