@@ -8,15 +8,27 @@ JSON line::
     {"metric": "dedup_bench_total", "value": N, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": 0.1, "docs_per_sec": ...}
 
-Each query is forced end-to-end with a ``noop``-format write (full
-computation, no driver-side collect). Timings are per-query wall
-seconds; ``value`` is the total across headline queries.
+Variance-robust methodology (round-3 fix — the r02 single-JVM serial
+harness let localCheckpoint RDD accumulation + sandbox stalls inflate
+later queries 5-10x, making the round total unreproducible):
+
+- EVERY headline query runs in its OWN fresh JVM (subprocess), so no
+  query inherits another's block-manager residue;
+- each query runs ``BENCH_REPEATS`` times (default 3) inside its JVM
+  and reports the MEDIAN, with all per-run times published under
+  ``"runs"`` so the spread is visible;
+- session startup and the initial corpus-count warmup are excluded
+  from the timed window.
+
+``value`` is the sum of per-query medians across the headline set.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -28,9 +40,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # - MinHash-LSH near-dup (the at-scale path of the north rule)
 # - SimHash Hamming-ball candidate pairs
 # - suffix-array substring dedup (long-span duplicates)
-# - EJoin token-similarity join
+# - EJoin token-similarity join (Zipfian synthetic corpus)
 # - per-node cardinality pruning (meta-blocking)
-# - brute-force ANN top-k over embeddings
+# - banded sign-LSH ANN top-k over embeddings
 # - exact dedup (hash-groupBy)
 HEADLINE = [
     "der_dedup_clusters",
@@ -43,6 +55,12 @@ HEADLINE = [
     "ann_topk",
     "exact_dedup",
 ]
+
+# measured separately (extra key, not in the headline total — keeps
+# `value` comparable with earlier rounds whose set didn't include it)
+EXTRA = ["corpus_clean"]
+
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
 
 def _ejoin_cosine_zipf(spark, sf_dir):
@@ -58,8 +76,7 @@ def _ejoin_cosine_zipf(spark, sf_dir):
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     docs, _ = webtext_df(spark, n_docs=n_docs, seed=101, vocab_size=20000)
-    docs = docs.localCheckpoint()  # exclude corpus synthesis? NO — cheap,
-    # and timing starts before this call either way; kept for lineage
+    docs = docs.localCheckpoint()
     return J.ejoin(docs, similarity_threshold=0.82, metric="cosine",
                    tokenization="standard", id_col="eid", text_col="text",
                    round_to=6)
@@ -68,47 +85,71 @@ def _ejoin_cosine_zipf(spark, sf_dir):
 EXTRA_QUERIES = {"ejoin_cosine_zipf": _ejoin_cosine_zipf}
 
 
-def _force(df) -> int:
-    """Force full evaluation executor-side; return row count via the
-    cheapest full-plan action (noop write has no count, so count())."""
-    return df.count()
+def _worker(name: str, sf_dir: str) -> None:
+    """Fresh-JVM worker: run one query REPEATS times, print one JSON
+    line with per-run wall seconds."""
+    from pyjedai_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyjedai_spark.queries import QUERIES
+
+    fn = EXTRA_QUERIES.get(name) or QUERIES[name]
+    # warm the input scan + parquet footer reads outside the timed window
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    import gc
+
+    runs, rows = [], None
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).count()  # count() forces the full plan
+        runs.append(round(time.perf_counter() - t0, 3))
+        # drop refs to checkpointed RDDs so the ContextCleaner reclaims
+        # block-manager memory before the next repeat
+        gc.collect()
+        spark.catalog.clearCache()
+
+    print(json.dumps({"query": name, "runs": runs, "rows": rows}))
+    spark.stop()
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    from pyjedai_spark.session import get_spark
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        _worker(sys.argv[2], sf_dir)
+        return
 
-    spark = get_spark(app_name="pyjedai-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    import duckdb
 
-    from pyjedai_spark.queries import QUERIES
-
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-
-    import gc
+    n_docs = duckdb.sql(
+        f"select count(*) from read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = EXTRA_QUERIES.get(name) or QUERIES[name]
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # drop refs to the query's checkpointed RDDs so the
-        # ContextCleaner reclaims block-manager memory before the next
-        # query (otherwise storage fills and later queries pay GC)
-        gc.collect()
-        spark.catalog.clearCache()
-
-    # corpus_clean measured SEPARATELY (extra key, not in the headline
-    # total — keeps `value` comparable with earlier rounds whose set
-    # didn't include it)
-    t0 = time.perf_counter()
-    _force(QUERIES["corpus_clean"](spark, sf_dir))
-    corpus_clean_sec = round(time.perf_counter() - t0, 3)
-    gc.collect()
-    spark.catalog.clearCache()
+    all_runs: dict[str, list[float]] = {}
+    extra_out: dict[str, float] = {}
+    for name in HEADLINE + EXTRA:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", name],
+            capture_output=True, text=True, env=os.environ)
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("{")][-1] if proc.stdout.strip() else None
+        if proc.returncode != 0 or line is None:
+            sys.stderr.write(f"bench worker {name} failed:\n{proc.stderr[-2000:]}\n")
+            raise SystemExit(1)
+        if "Failed to compile" in proc.stderr or "grows beyond 64 KB" in proc.stderr:
+            sys.stderr.write(f"bench worker {name}: CODEGEN FALLBACK DETECTED\n")
+        rec = json.loads(line)
+        med = round(statistics.median(rec["runs"]), 3)
+        all_runs[name] = rec["runs"]
+        if name in EXTRA:
+            extra_out[f"{name}_sec"] = med
+        else:
+            timings[name] = med
 
     total = round(sum(timings.values()), 3)
     flagship = timings["der_dedup_clusters"]
@@ -120,10 +161,12 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs,
         "docs_per_sec_flagship": round(n_docs / flagship, 2) if flagship else None,
-        "corpus_clean_sec": corpus_clean_sec,
+        "runs": all_runs,
+        "repeats": REPEATS,
+        "method": "fresh JVM per query, median of repeats",
+        **extra_out,
     }
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -313,10 +313,16 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
     with an alphabetic char, >= 2 distinct common stopwords present,
     < 90% lines starting with a bullet, < 30% lines ending in "...".
     Emits each signal plus the conjunction ``passes`` — all column
-    expressions, one scan, exact-SQL oracle."""
-    toks = T.tokens(F.col(text_col), distinct=False)
+    expressions, one scan, exact-SQL oracle.
+
+    NULL text is treated as empty text (``passes`` = 0), never a NULL
+    ``passes`` — otherwise a null-text doc matches neither the pass nor
+    the fail branch downstream and silently vanishes from a cleaning
+    pipeline."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = T.tokens(txt, distinct=False)
     n = F.size(toks)
-    lines_arr = F.filter(F.transform(F.split(F.col(text_col), "\n"),
+    lines_arr = F.filter(F.transform(F.split(txt, "\n"),
                                      lambda s: F.trim(s)),
                          lambda s: s != "")
     n_lines = F.size(lines_arr)
@@ -324,9 +330,8 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
         toks, F.lit(0).cast("long"),
         lambda acc, t: acc + F.length(t)).cast("double") / n
     ).otherwise(F.lit(0.0))
-    n_hash = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"#"), F.lit(0)))
-    n_ellip = F.size(F.regexp_extract_all(F.col(text_col),
-                                          F.lit(r"\.\.\."), F.lit(0)))
+    n_hash = F.size(F.regexp_extract_all(txt, F.lit(r"#"), F.lit(0)))
+    n_ellip = F.size(F.regexp_extract_all(txt, F.lit(r"\.\.\."), F.lit(0)))
     sym_ratio = F.when(n > 0, (n_hash + n_ellip).cast("double") / n) \
         .otherwise(F.lit(0.0))
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))

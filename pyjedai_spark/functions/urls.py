@@ -51,10 +51,19 @@ def url_dedup(docs: DataFrame, id_col: str = "doc_id",
     """Per doc: its canonical URL and the survivor (min id sharing that
     canonical URL). One groupBy on the canonical key — partial+final
     aggregate, then a key-partitioned join back; no windows, no skew
-    sensitivity beyond the aggregate's own map-side combine."""
-    d = docs.select(F.col(id_col).alias("eid"),
-                    canonical_url(url_col).alias("url_canon"))
-    survivors = d.groupBy("url_canon").agg(F.min("eid").alias("survivor"))
-    return d.join(survivors, "url_canon").select(
+    sensitivity beyond the aggregate's own map-side combine.
+
+    A NULL url (common in real crawl data) gets a per-doc sentinel key
+    ("\\x00null:<eid>" — '\\x00' cannot appear in a canonicalized URL),
+    so null-url docs survive as their own singletons instead of
+    vanishing from the inner join on a NULL key; ``url_canon`` is
+    reported as NULL for them."""
+    canon = canonical_url(url_col)
+    key = F.coalesce(canon,
+                     F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")))
+    d = docs.select(F.col(id_col).alias("eid"), key.alias("_key"),
+                    canon.alias("url_canon"))
+    survivors = d.groupBy("_key").agg(F.min("eid").alias("survivor"))
+    return d.join(survivors, "_key").select(
         "eid", "url_canon", "survivor",
         (F.col("eid") != F.col("survivor")).cast("long").alias("is_dup"))

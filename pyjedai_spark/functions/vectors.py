@@ -60,21 +60,45 @@ def hyperplane_family(dim: int, n_bands: int = DEFAULT_BANDS,
 def band_bucket_exprs(vec_col, dim: int, n_bands: int = DEFAULT_BANDS,
                       band_bits: int = DEFAULT_BAND_BITS,
                       nnz: int = DEFAULT_PLANE_NNZ) -> list:
-    """One int bucket Column per band. Each bit's projection is a
+    """One long bucket Column per band. Each bit's projection is a
     left-associated sum of +/- coordinates (IEEE-deterministic, so the
-    SQL twin in ``band_bucket_sql`` matches bit-for-bit)."""
+    SQL twin in ``band_bucket_sql`` matches bit-for-bit).
+
+    The hyperplane family is a CONSTANT ARRAY LITERAL folded with
+    higher-order functions (aggregate/zip_with), NOT an unrolled
+    expression tree: the naive per-term unrolling (bands x bits x nnz
+    ~ 512 element_at terms in one projection) exceeds the JVM's 64 KB
+    method limit — janino fails ("Code grows beyond 64 KB") and the
+    whole banding stage silently drops to interpreted eval. Here the
+    expression tree is ~30 nodes per band whatever the family size
+    (constant-folded plane table, runtime loop over its data), the same
+    design as the MinHash signature fold (operators/dedup.py:103-115).
+    Arithmetic is unchanged: zip_with preserves coordinate order and
+    aggregate is a left fold, so bucket ids — and the DuckDB oracles
+    that regenerate them — stay bit-identical."""
     planes = hyperplane_family(dim, n_bands, band_bits, nnz)
     buckets = []
     for b in range(n_bands):
-        expr = F.lit(0).cast("long")
-        for r in range(band_bits):
-            coords, signs = planes[b * band_bits + r]
-            dot = None
-            for c, s in zip(coords, signs):
-                term = F.element_at(vec_col, c + 1) * F.lit(s)
-                dot = term if dot is None else dot + term
-            expr = expr + F.when(dot > 0, F.lit(1 << r)).otherwise(F.lit(0))
-        buckets.append(expr)
+        plane_lit = F.array(*[
+            F.struct(
+                F.array(*[F.lit(c) for c in coords]).alias("cs"),
+                F.array(*[F.lit(s) for s in signs]).alias("ss"),
+                F.lit(1 << r).cast("long").alias("bv"),
+            )
+            for r, (coords, signs) in enumerate(
+                planes[b * band_bits:(b + 1) * band_bits])
+        ])
+
+        def _dot_p(p):
+            return F.aggregate(
+                F.zip_with(p["cs"], p["ss"],
+                           lambda c, s: F.element_at(vec_col, c + 1) * s),
+                F.lit(0.0), lambda acc, v: acc + v)
+
+        buckets.append(F.aggregate(
+            plane_lit, F.lit(0).cast("long"),
+            lambda acc, p: acc + F.when(_dot_p(p) > 0, p["bv"])
+            .otherwise(F.lit(0).cast("long"))))
     return buckets
 
 
@@ -106,15 +130,27 @@ def _vec_dim(vectors: DataFrame, vec_col: str) -> int:
 def _banded(vectors: DataFrame, id_col: str, vec_col: str,
             n_bands: int, band_bits: int, nnz: int,
             dim: int | None) -> DataFrame:
-    """(_id, _v, band, bucket) — one row per (vector, band)."""
+    """(_id, band, bucket) — one row per (vector, band).
+
+    The output is MATERIALIZED (localCheckpoint): each bucket id is a
+    band_bits x nnz-term expression tree (~512 terms for the default
+    4x16x8 family), and projection collapse would otherwise inline that
+    tree into BOTH sides of the downstream band self-join — the
+    resulting single projection blows the JVM's 64 KB method limit,
+    whole-stage codegen fails ("Code grows beyond 64 KB"), and the
+    stage silently degrades to interpreted eval (~20x at sf0.1; a
+    scale-killer on a real corpus). Same pathology + same fix as the
+    MinHash signature table (operators/dedup.py:150-159). On a cluster
+    this materialization is the per-stage signature checkpoint the
+    north rule persists to the lakehouse anyway."""
     v = vectors.select(F.col(id_col).alias("_id"),
                        F.col(vec_col).cast("array<double>").alias("_v"))
     d = dim or _vec_dim(v, "_v")
     bux = band_bucket_exprs(F.col("_v"), d, n_bands, band_bits, nnz)
     return v.select(
-        "_id", "_v",
+        "_id",
         F.posexplode(F.array(*bux)).alias("band", "bucket"),
-    )
+    ).localCheckpoint()
 
 
 def lsh_topk(vectors: DataFrame, k: int = 10,

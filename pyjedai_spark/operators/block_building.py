@@ -215,12 +215,13 @@ def block_stats(postings: DataFrame) -> DataFrame:
     stddev; Shannon entropy of the block-size distribution computed
     from explicit sums) so the DuckDB oracle reproduces them."""
     sizes = postings.groupBy("key").agg(F.count("*").alias("block_size"))
-    # block-size table is vocabulary-sized; the empty-partition window
-    # for the entropy normalizer is a single-task pass over it, never
-    # over the postings
-    sizes = sizes.withColumn(
-        "_tot", F.sum("block_size").over(Window.partitionBy()))
-    p = F.col("block_size") / F.col("_tot")
+    # entropy via the algebraic identity
+    #   -sum((s/T)*ln(s/T)) == ln(T) - sum(s*ln(s))/T
+    # so everything is ONE hash aggregate over the (vocabulary-sized)
+    # block-size table — no unpartitioned window funneling the whole
+    # table through a single task for the normalizer
+    tot = F.sum("block_size").cast("double")
+    s_lns = F.sum(F.col("block_size") * F.log(F.col("block_size").cast("double")))
     return sizes.agg(
         F.count("*").alias("num_blocks"),
         F.sum("block_size").alias("total_assignments"),
@@ -233,5 +234,5 @@ def block_stats(postings: DataFrame) -> DataFrame:
         F.round(F.expr("percentile(block_size, 0.5)"), 6)
         .alias("median_block_size"),
         F.round(F.stddev_pop("block_size"), 6).alias("stddev_block_size"),
-        F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        F.round(F.log(tot) - s_lns / tot, 6).alias("entropy"),
     )

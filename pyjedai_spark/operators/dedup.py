@@ -64,16 +64,23 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     """Exact duplicate groups by content hash: (eid, fingerprint,
     group_size, is_duplicate, keep). ``keep`` marks the minimum id of
     each group — the canonical survivor a training pipeline retains."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")) if normalize \
-        else F.col(text_col)
+    # NULL text hashes like empty text (all-missing docs are one exact
+    # group, not silently dropped — real crawl data has null fields)
+    base = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.lower(F.regexp_replace(base, r"\s+", " ")) if normalize else base
     h = docs.select(F.col(id_col).alias("eid"), F.md5(norm).alias("fingerprint"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("fingerprint")
-    return (
-        h.withColumn("group_size", F.count("*").over(w))
-        .withColumn("is_duplicate", (F.col("group_size") > 1).cast("int"))
-        .withColumn("keep", (F.col("eid") == F.min("eid").over(w)).cast("int"))
+    # groupBy + join-back, NOT Window.partitionBy(fingerprint): the
+    # aggregate gets a map-side partial combine, so a 10^9-copy
+    # boilerplate fingerprint reduces to one (fingerprint, count, min)
+    # row per map task instead of funneling every copy through a single
+    # window task. Same pattern as functions/urls.py:url_dedup.
+    groups = h.groupBy("fingerprint").agg(
+        F.count("*").alias("group_size"), F.min("eid").alias("_min_eid"))
+    return h.join(groups, "fingerprint").select(
+        "eid", "fingerprint",
+        F.col("group_size"),
+        (F.col("group_size") > 1).cast("int").alias("is_duplicate"),
+        (F.col("eid") == F.col("_min_eid")).cast("int").alias("keep"),
     )
 
 
@@ -132,10 +139,14 @@ def lsh_bands(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
     return out
 
 
+_MAX_BUCKET_DEFAULT = object()  # sentinel: distinguishes "caller left the
+# default" from "caller explicitly asked for a bucket cap"
+
+
 def lsh_candidate_pairs(docs: DataFrame, k: int = 32, bands: int = 8,
                         rows: int | None = None, shingle_size: int = 1,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_bucket: int | None = 1000,
+                        max_bucket=_MAX_BUCKET_DEFAULT,
                         salted_chunk: int | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs (id1<id2, distinct): docs agreeing on
     at least one full band. ``max_bucket`` size-caps hot buckets
@@ -145,7 +156,19 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 32, bands: int = 8,
     pair enumeration routes through
     :func:`..block_building.block_pairs_salted`, which splits each
     bucket's quadratic work into bounded ~chunk² tasks (identical
-    output, skew-proof plan)."""
+    output, skew-proof plan). ``max_bucket`` (default 1000; the salted
+    path defaults to uncapped) and ``salted_chunk`` are mutually
+    exclusive — passing both explicitly raises, because the salted
+    branch keeps every bucket and silently ignoring the cap would
+    change the output contract."""
+    if salted_chunk is not None and max_bucket is not _MAX_BUCKET_DEFAULT \
+            and max_bucket is not None:
+        raise ValueError(
+            "max_bucket and salted_chunk are mutually exclusive: the salted "
+            "path enumerates ALL buckets (split into bounded chunks); pass "
+            "max_bucket=None with salted_chunk, or drop salted_chunk to cap")
+    if max_bucket is _MAX_BUCKET_DEFAULT:
+        max_bucket = None if salted_chunk is not None else 1000
     rows = rows or k // bands
     # Materialize the signature table ONCE. Projection collapse would
     # otherwise inline the signature fold into all `bands` band-hash

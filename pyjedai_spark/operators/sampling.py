@@ -30,15 +30,27 @@ def per_key_top_n(df: DataFrame, key_col: str, ord_col: str,
                   n: int) -> DataFrame:
     """Exact N smallest rows per key by (ord_col asc) — ties must be
     impossible in ``ord_col`` (use a unique tiebreak suffix); the
-    4096-bucket histogram split keeps every window partition ≤
-    max(4096, threshold-bucket population)."""
+    prefix-histogram split keeps every window partition ≤
+    max(#distinct prefixes, threshold-bucket population)."""
+    ord_type = dict(df.dtypes).get(ord_col)
+    if ord_type != "string":
+        raise ValueError(
+            f"per_key_top_n requires a string ord column (prefix bucketing "
+            f"orders strings lexicographically); {ord_col!r} is {ord_type}. "
+            f"Cast numerics to a fixed-width sortable form first (e.g. "
+            f"lpad/format_string), or order by md5(id) as source_quota_sample "
+            f"does.")
     o = F.col(ord_col)
-    # bucket by a prefix of the ORDER value itself so bucket order ==
-    # value order (required for the cumulative scan). Orders are
-    # fixed-length lowercase hex strings (md5); the first 3 hex chars
-    # give 4096 buckets whose numeric order matches the string order.
-    d = df.withColumn(
-        "_b", F.conv(F.substring(o, 1, 3), 16, 10).cast("int"))
+    # bucket by the raw 3-char STRING prefix of the order value: for any
+    # two strings, prefix(a) < prefix(b) implies a < b, and equal
+    # prefixes land in the same bucket — so bucket order == value order
+    # for ARBITRARY string ord columns (no fixed-length/lowercase-hex
+    # assumption; an earlier hex-decode bucketing silently mis-ranked
+    # non-hex orders). For hash-hex orders (md5) this yields 4096
+    # uniform buckets; a pathological ord distribution that shares one
+    # prefix degrades gracefully to the naive per-key window (still
+    # exact, just unsplit).
+    d = df.withColumn("_b", F.substring(o, 1, 3))
     hist = d.groupBy(key_col, "_b").agg(F.count("*").alias("_c"))
     wk = Window.partitionBy(key_col).orderBy("_b")  # ≤ 4096 rows/key
     # cum fans out into thr + below_info: materialize the (small,

@@ -551,6 +551,43 @@ def q_corpus_clean(spark, sf_dir):
     return out.select(F.col("eid").alias("doc_id"), "status", "survivor")
 
 
+def q_streaming_reconciled(spark, sf_dir):
+    """Streaming incremental clean (3 arrival-ordered micro-batches
+    through ``process_clean_increment``) followed by the periodic
+    ``reconcile_clean_state`` batch job — the reconciled state must
+    equal the BATCH ``corpus_clean_pipeline`` output exactly, so this
+    query SHARES corpus_clean's DuckDB oracle (the hard proof that the
+    streaming path's documented retroactive-merge delta is closed by
+    reconciliation)."""
+    import os as _os
+    import tempfile
+
+    from pyjedai_spark.streaming.incremental_clean import (
+        process_clean_increment, reconcile_clean_state)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        F.concat(
+            F.lit("HTTPS://"), F.upper("source"),
+            F.lit(".example.com:443/Crawl/"),
+            (F.col("doc_id") % 50).cast("string"), F.lit("/"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("?utm_source=feed&b=2&a=1#frag"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2"))
+            .otherwise(F.lit(""))).alias("url"))
+    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    b1, b2 = hi // 3, 2 * hi // 3
+    tmp = tempfile.mkdtemp(prefix="pj_stream_rec_")
+    state, outd = _os.path.join(tmp, "state"), _os.path.join(tmp, "out")
+    batches = [docs.where(F.col("doc_id") <= b1),
+               docs.where((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
+               docs.where(F.col("doc_id") > b2)]
+    for i, b in enumerate(batches):
+        process_clean_increment(b, state, outd, batch_id=i, url_col="url")
+    rec = reconcile_clean_state(spark, state, outd)
+    return rec.select(F.col("eid").alias("doc_id"), "status", "survivor")
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + URL-keyed dedup. The testdata has no url
     column, so one is derived IDENTICALLY in engine and oracle from
@@ -1250,6 +1287,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "url_dedup": q_url_dedup,
     "corpus_clean": q_corpus_clean,
+    "streaming_reconciled": q_streaming_reconciled,
     "meta_factory_wnp": q_meta_factory_wnp,
     "gopher_quality": q_gopher_quality,
     "source_stats": q_source_stats,
@@ -1338,9 +1376,9 @@ SELECT count(*) AS num_blocks,
        CAST(sum(block_size * (block_size - 1) / 2) AS BIGINT) AS total_comparisons,
        round(median(block_size), 6) AS median_block_size,
        round(stddev_pop(block_size), 6) AS stddev_block_size,
-       round(-sum((block_size * 1.0 / tot.t) * ln(block_size * 1.0 / tot.t)), 6)
+       round(ln(tot.t) - sum(block_size * ln(block_size)) / tot.t, 6)
            AS entropy
-FROM sizes, tot"""
+FROM sizes, tot GROUP BY tot.t"""
 
     o["block_purging"] = f"""WITH {SB},
 {_purging_sql('sb', 1.0, 'pp')}
@@ -1994,6 +2032,10 @@ UNION ALL
 SELECT doc_id, 'low_quality', CAST(NULL AS BIGINT) FROM q_drop
 UNION ALL
 SELECT doc_id, 'near_dup', CAST(cluster_id AS BIGINT) FROM nd_drop"""
+
+    # the reconciled streaming state must equal the batch pipeline
+    # bit-for-bit — same oracle, no weaker claim
+    o["streaming_reconciled"] = o["corpus_clean"]
 
     # repetition stats: one units stream (lines / paragraphs / word
     # n-grams), per-unit counts, per-kind aggregates, conditional-agg
@@ -3092,33 +3134,30 @@ ORACLES = _build_oracles()
 # driver never saw, so every query accumulates a driver CORRECTNESS row
 # across rounds; long-green unchanged queries move to the tail.
 _DRIVER_PRIORITY = [
-    # changed implementation/oracle this round
-    "minhash_lsh_pairs_salted", "audio_decode",
-    "repetition_stats", "url_dedup", "corpus_clean", "meta_factory_wnp",
-    "duplicate_spans", "source_quota",
-    "line_dedup", "pii_counts", "gopher_quality",
-    "source_stats", "events_windowed",
-    "ann_ivf_topk",
-    "sb_block_stats", "ccer_blocks", "ann_topk", "ann_lsh_topk",
-    "embedding_dedup", "unique_mapping", "unique_mapping_dist",
+    # never driver-checked through r01-r02 (the driver caps at 50
+    # queries/round; these 24 are local-gate green but need the hard
+    # signal — VERDICT r02 "What's missing")
+    "best_match_clustering", "boolean_cosine", "ccer_ccc", "ccer_em_cosine",
+    "ccer_pairs_cp", "ccer_wep_js", "center_clustering", "clean_text",
+    "correlation_clustering", "cut_clustering", "ejoin_dice_multiset",
+    "ejoin_jaccard_qgrams", "em_jaro", "em_levenshtein", "embeddings_nn_bpm",
+    "kiraly_clustering", "lsh_recall_eval", "media_features",
+    "merge_center_clustering", "ricochet_clustering", "tf_cosine",
+    "tfidf_cosine", "topk_join_pm", "video_frame_sample",
+    # implementation or oracle changed in round 3 (codegen-safe banded
+    # LSH, de-skewed exact dedup, null-safe url dedup + quality gate,
+    # single-agg entropy, prefix-histogram sampling, UTC session tz)
+    "ann_topk", "ann_lsh_topk", "embedding_dedup", "ann_topk_from_text",
+    "exact_dedup", "url_dedup", "gopher_quality", "corpus_clean",
+    "sb_block_stats", "source_quota", "events_windowed",
+    "minhash_lsh_pairs", "minhash_near_dup", "minhash_lsh_pairs_salted",
+    # round-3 additions
+    "streaming_reconciled",
+    # rotate in r01-only greens for a second driver confirmation
+    "der_dedup_clusters", "simhash_pairs", "substring_dedup",
+    "duplicate_spans", "line_dedup", "pii_counts",
+    "gpsn_acf", "meta_cnp_cleaned", "ejoin_cosine", "ann_ivf_topk",
     "webtext_minhash_clusters",
-    "ccer_unique_mapping", "markov_clustering", "topk_join", "pe_topk_join",
-    "gpsn_acf", "gpsn_id", "lpsn_ncf", "pcep_topk", "pcnp_dfs", "pes_hb",
-    "random_pm", "ejoin_cosine", "row_column_clustering",
-    # new this round
-    "ann_brute_topk", "ann_topk_from_text", "em_generalized_jaccard",
-    "ccer_wep_ejs", "ccer_wep_x2", "ccer_cnp_js", "ccer_rcnp_cncbs",
-    "ccer_cep_js", "ccer_blast_x2", "ccer_best_chain",
-    "progressive_recall", "progressive_auc",
-    # driver-unchecked in r01
-    "em_dice", "em_jaccard_quirk", "em_overlap", "em_levenshtein", "em_jaro",
-    "tfidf_cosine", "tf_cosine", "boolean_cosine", "clean_text",
-    "lsh_recall_eval", "ejoin_dice_multiset", "ejoin_jaccard_qgrams",
-    "center_clustering", "merge_center_clustering", "best_match_clustering",
-    "media_features", "video_frame_sample", "ccer_pairs_cp", "ccer_wep_js",
-    "ccer_em_cosine", "ccer_ccc", "embeddings_nn_bpm", "topk_join_pm",
-    "cut_clustering", "correlation_clustering", "ricochet_clustering",
-    "kiraly_clustering",
 ]
 
 QUERIES = {

@@ -16,6 +16,11 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONFS = {
+    # machine-independent timestamp semantics: tumbling windows align on
+    # UTC epoch and render in UTC, so windowed results (and their
+    # naive-timestamp SQL oracles) don't shift on a non-whole-hour-offset
+    # host timezone (e.g. IST)
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

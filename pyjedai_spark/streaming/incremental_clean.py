@@ -19,9 +19,16 @@ Documented delta vs the batch pipeline: no retroactive merging — if a
 new doc bridges two previously-kept docs, both stay kept (append-only
 statuses; the batch pipeline's global CC would merge them). Everything
 else matches batch semantics when doc ids are arrival-ordered.
+:func:`reconcile_clean_state` closes that delta: a periodic batch job
+that replays the accumulated verified edge store through global
+connected components, after which the state matches
+``corpus_clean_pipeline`` output on the same corpus EXACTLY (pinned by
+test + the shared DuckDB oracle of the ``streaming_reconciled``
+registry query).
 
-State = five ``batch_id=N``-partitioned parquet stores (urls,
-fingerprints, LSH bands, doc texts, survivor pointers) — the same
+State = six ``batch_id=N``-partitioned parquet stores (urls,
+fingerprints, LSH bands, doc texts, survivor pointers, verified
+near-dup edges) — the same
 table-as-state design as incremental_dedup: per-batch OVERWRITE
 partitions + strictly-prior reads make every batch idempotent under
 Structured Streaming retries, and the band-hash key keeps the near-dup
@@ -88,11 +95,16 @@ def process_clean_increment(new_docs: DataFrame, state_dir: str,
     ).localCheckpoint()
 
     p = {n: os.path.join(state_dir, n)
-         for n in ("urls", "fps", "bands", "docs", "surv")}
+         for n in ("urls", "fps", "bands", "docs", "surv", "edges")}
     drops = []
 
     if url_col:
-        cu = d.select("eid", U.canonical_url("url").alias("url_canon"))
+        # same null-url sentinel as the batch url_dedup: a NULL url must
+        # not group in-batch nulls into one bogus dup window
+        cu = d.select("eid", F.coalesce(
+            U.canonical_url("url"),
+            F.concat(F.lit("\x00null:"), F.col("eid").cast("string"))
+        ).alias("url_canon"))
         udups, ukeep = _first_seen_dedup(
             cu, "url_canon", _read_prior(spark, p["urls"], batch_id))
         drops.append(udups.select(
@@ -135,7 +147,7 @@ def process_clean_increment(new_docs: DataFrame, state_dir: str,
     all_docs = d.select("eid", "text") if prior_docs is None \
         else prior_docs.unionByName(d.select("eid", "text"))
     ver = DD.jaccard_verify(cands, all_docs, jaccard_threshold,
-                            shingle_size, "eid", "text")
+                            shingle_size, "eid", "text").localCheckpoint()
 
     # survivor resolution: map every matched neighbor through the
     # survivor-pointer store (a dropped neighbor forwards to its kept
@@ -201,6 +213,52 @@ def process_clean_increment(new_docs: DataFrame, state_dir: str,
     out.where(F.col("status") != "kept").where(
         F.col("survivor").isNotNull()).select("eid", "survivor") \
         .write.mode("overwrite").parquet(os.path.join(p["surv"], part))
+    # verified near-dup edges touching this batch — the raw material the
+    # periodic reconciliation replays through global CC (pointer stores
+    # alone lose bridge edges: a doc matching two kept docs records only
+    # its min survivor)
+    ver.select("id1", "id2").write.mode("overwrite").parquet(
+        os.path.join(p["edges"], part))
+
+
+def reconcile_clean_state(spark, state_dir: str, out_dir: str) -> DataFrame:
+    """Periodic batch reconciliation of the streaming state: replay the
+    accumulated verified near-dup edge store through GLOBAL connected
+    components, recomputing kept/near_dup labels and survivors with the
+    batch pipeline's semantics (retroactive merges included: a late doc
+    bridging two previously-kept docs now collapses all three into one
+    cluster whose min id is the sole survivor).
+
+    url_dup / exact_dup / low_quality labels are first-seen-stable —
+    identical between streaming and batch when ids are arrival-ordered —
+    so they pass through unchanged. Returns the reconciled
+    (eid, status, survivor) table for the full corpus seen so far; the
+    test + shared oracle pin it EQUAL to ``corpus_clean_pipeline`` on
+    the same docs. At 10^12-doc scale this is the standard compaction
+    job shape: edge store ≪ corpus, CC over survivors only.
+    """
+    from ..operators import clustering as CL
+
+    status = spark.read.option("basePath", out_dir).parquet(out_dir) \
+        .drop("batch_id")
+    passthrough = status.where(
+        ~F.col("status").isin("kept", "near_dup"))
+    nodes = status.where(F.col("status").isin("kept", "near_dup")) \
+        .select("eid")
+    edges_path = os.path.join(state_dir, "edges")
+    if _fs_exists(spark, edges_path):
+        edges = spark.read.option("basePath", edges_path) \
+            .parquet(edges_path).select("id1", "id2")
+    else:
+        edges = nodes.select(F.col("eid").alias("id1"),
+                             F.col("eid").alias("id2")).limit(0)
+    clusters = CL.connected_components(edges, nodes=nodes)
+    merged = clusters.select(
+        "eid",
+        F.when(F.col("cluster_id") == F.col("eid"), F.lit("kept"))
+        .otherwise(F.lit("near_dup")).alias("status"),
+        F.col("cluster_id").cast("long").alias("survivor"))
+    return passthrough.unionByName(merged)
 
 
 def incremental_clean_stream(spark, input_dir: str, state_dir: str,
