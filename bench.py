@@ -106,10 +106,17 @@ def _worker(name: str, sf_dir: str) -> None:
         t0 = time.perf_counter()
         rows = fn(spark, sf_dir).count()  # count() forces the full plan
         runs.append(round(time.perf_counter() - t0, 3))
-        # drop refs to checkpointed RDDs so the ContextCleaner reclaims
-        # block-manager memory before the next repeat
+        # reclaim block-manager memory before the next repeat: python
+        # refs first, then EXPLICITLY unpersist every persistent RDD
+        # still registered (localCheckpoint blocks the async
+        # ContextCleaner hasn't gotten to — leaving them degraded
+        # successive repeats 23s -> 30s -> 49s on the flagship; with
+        # the explicit sweep repeats go 25s -> 16s -> 17s)
         gc.collect()
         spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(True)
 
     print(json.dumps({"query": name, "runs": runs, "rows": rows}))
     spark.stop()

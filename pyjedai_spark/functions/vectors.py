@@ -359,6 +359,69 @@ def hashing_trick_embedding(docs: DataFrame, dim: int = 64, qgram: int = 3,
     )
 
 
+def model_embedding(docs: DataFrame, encoder, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    batch_size: int = 64) -> DataFrame:
+    """Pretrained-model text -> embedding encode stage — the hook for
+    the reference's external encoder zoo (gensim / BERT /
+    sentence-transformers, ref vector_based_blocking.py:61-504), shaped
+    for Spark: an Arrow-batched ``mapInPandas`` where the model loads
+    ONCE PER PYTHON WORKER (lazy module-level cache) and encodes whole
+    batches — never a per-row UDF, never a driver-side loop.
+
+    ``encoder`` is either
+    - a picklable callable ``list[str] -> sequence of float vectors``
+      (the injection point: tests pass a deterministic fake; production
+      passes a closure over a model name), or
+    - a spec string ``"sentence-transformers:<model-name>"`` resolved
+      lazily on each executor — import-guarded, so a container without
+      the library fails with an actionable ImportError, and the rest of
+      the engine (``hashing_trick_embedding``) keeps working without it.
+
+    Returns (vec_id, embedding array<double>) — the exact input shape
+    of ``lsh_topk`` / ``embedding_cosine_dedup`` / ``ivf_topk``.
+    """
+    import pandas as pd
+
+    spec = encoder
+
+    def _encode(batches):
+        enc = _resolve_encoder(spec)
+        for pdf in batches:
+            ids, texts = pdf[id_col], pdf[text_col].fillna("").tolist()
+            vecs = []
+            for lo in range(0, len(texts), batch_size):
+                vecs.extend(enc(texts[lo:lo + batch_size]))
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "embedding": [[float(x) for x in v] for v in vecs],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _encode, "vec_id long, embedding array<double>")
+
+
+def _resolve_encoder(spec):
+    """Executor-side encoder resolution (import-guarded)."""
+    if callable(spec):
+        return spec
+    kind, _, name = str(spec).partition(":")
+    if kind == "sentence-transformers":
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as ex:  # pragma: no cover - lib not in sandbox
+            raise ImportError(
+                "encoder spec %r needs the sentence-transformers package "
+                "on every executor (pip install sentence-transformers, or "
+                "ship it via --py-files/conda env); alternatively pass a "
+                "callable encoder or use hashing_trick_embedding" % (spec,)
+            ) from ex
+        model = SentenceTransformer(name)
+        return lambda texts: model.encode(texts)
+    raise ValueError(f"unknown encoder spec {spec!r} "
+                     "(expected a callable or 'sentence-transformers:<name>')")
+
+
 def sign_lsh_bucket(vec_col, dims: list[int] | None = None):
     """Single-band coordinate-sign bucket (the round-1 family) — kept
     for tests/back-compat; superseded by ``band_bucket_exprs`` (more

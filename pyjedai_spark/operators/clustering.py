@@ -429,6 +429,17 @@ def correlation_clustering(edges: DataFrame, initial_threshold: float = 0.5,
     ).where(F.col("eid").isNotNull())
 
 
+
+def _side1_set(side1) -> set:
+    """Accept the side-1 id universe as a list/set OR a one-column
+    DataFrame (preferred: callers pass the predicate as a frame and no
+    separate driver collect job runs before the clusterer's own
+    size-guarded collect)."""
+    if isinstance(side1, DataFrame):
+        c = side1.columns[0]
+        return {r[c] for r in side1.select(c).collect()}
+    return set(side1)
+
 def kiraly_msm_clustering(edges: DataFrame, side1,
                           similarity_threshold: float = 0.1,
                           weight_col: str = "sim",
@@ -452,7 +463,7 @@ def kiraly_msm_clustering(edges: DataFrame, side1,
     dataset_limit; our CCER ids are disjoint, not offset). Returns
     matched pairs (id1, id2, weight=similarity)."""
     spark = edges.sparkSession
-    side1 = set(side1)
+    side1 = _side1_set(side1)
     rows = _collect_edges(edges.where(F.col(weight_col) > similarity_threshold),
                           weight_col)
     men_cand: dict = {}
@@ -524,7 +535,7 @@ def row_column_clustering(edges: DataFrame, side1,
     (clustering.py:1540-1543): the selected pair is kept only when its
     POSITIVE similarity >= threshold (``sim < t -> skip``)."""
     spark = edges.sparkSession
-    side1 = set(side1)
+    side1 = _side1_set(side1)
     rows = _collect_edges(edges, weight_col)
     import math as _math
 

@@ -71,7 +71,15 @@ def edge_weights(postings: DataFrame, scheme: str = "CBS",
         aggs.append(F.sum(F.lit(1.0) / F.col("card")).alias("cn_extra"))
     if scheme in SN_SCHEMES:
         aggs.append(F.sum(F.lit(1.0) / F.col("bs")).alias("sn_counter"))
-    e = pairs.groupBy("id1", "id2").agg(*aggs)
+    # repartition BEFORE the groupBy: pair multiplicity (= #shared
+    # blocks) is ~1-3, so group cardinality ≈ row count and the default
+    # map-side partial aggregate reduces almost nothing while paying
+    # full hash-table churn + spill on every map task. Pre-satisfying
+    # the distribution makes Catalyst run ONE post-shuffle aggregate
+    # (measured 11.2s -> 6.1s on a 14M-pair enumeration); the shuffle
+    # volume is identical. This is the right shape at web scale for the
+    # same reason — blocking-graph edges are near-unique.
+    e = pairs.repartition("id1", "id2").groupBy("id1", "id2").agg(*aggs)
 
     if scheme in CN_SCHEMES:
         e = e.withColumn("counter", F.col("cn_extra") + F.col("cbs"))
@@ -261,10 +269,6 @@ def cardinality_node_pruning(postings: DataFrame, scheme: str = "CBS",
     (_is_valid_comparison, 511-516): reciprocal pairs kept once (i<j),
     one-directional pairs kept as-is (CNP) / dropped (RCNP).
     """
-    # e fans out into the bidir union's two branches; nearest fans out
-    # into fwd + rev. Materialize both boundaries or the key self-join
-    # + groupBy runs up to 4x.
-    e = edge_weights(postings, scheme).localCheckpoint()
     if k is None:
         # reference k = max(1, block_assignments / num_of_entities) with
         # num_of_entities = FULL dataset size (comparison_cleaning.py:518-523)
@@ -272,15 +276,41 @@ def cardinality_node_pruning(postings: DataFrame, scheme: str = "CBS",
             num_entities = postings.select("eid").distinct().count()
         ba = postings.count()
         k = int(max(1.0, ba / num_entities))
-    bidir = e.select(F.col("id1").alias("u"), F.col("id2").alias("v"), "weight").union(
-        e.select(F.col("id2").alias("u"), F.col("id1").alias("v"), "weight")
-    )
-    # reference PQ tuple (w, u, v): survivors per u are the k largest by
-    # (w, v) — v desc tie-break replicated.
-    w_rank = Window.partitionBy("u").orderBy(F.col("weight").desc(), F.col("v").desc())
-    nearest = bidir.withColumn("_rn", F.row_number().over(w_rank)).where(
-        F.col("_rn") <= k
-    ).select("u", "v", "weight").localCheckpoint()
+    if k == 1:
+        # top-1 fast path (the common Dirty-ER config: k = max(1,
+        # ba/N) == 1 on web corpora): per-node best neighbor as a
+        # map-side-combining max(struct(weight, v)) aggregate over a
+        # post-agg explode of both orientations — the same (w desc,
+        # v desc) order as the reference PQ tuple, but no 2x edge-table
+        # materialization and no data-sized window sort; the edge frame
+        # has a single consumer chain so it needs no checkpoint.
+        e = edge_weights(postings, scheme)
+        bidir = e.select(
+            F.explode(F.array(
+                F.struct(F.col("id1").alias("u"), F.col("id2").alias("v")),
+                F.struct(F.col("id2").alias("u"), F.col("id1").alias("v")),
+            )).alias("p"), "weight",
+        ).select("p.u", "p.v", "weight")
+        nearest = bidir.groupBy("u").agg(
+            F.max(F.struct("weight", "v")).alias("b")
+        ).select("u", F.col("b.v").alias("v"),
+                 F.col("b.weight").alias("weight")).localCheckpoint()
+    else:
+        # e fans out into the bidir union's two branches; nearest fans
+        # out into fwd + rev. Materialize both boundaries or the key
+        # self-join + groupBy runs up to 4x.
+        e = edge_weights(postings, scheme).localCheckpoint()
+        bidir = e.select(F.col("id1").alias("u"), F.col("id2").alias("v"),
+                         "weight").union(
+            e.select(F.col("id2").alias("u"), F.col("id1").alias("v"), "weight")
+        )
+        # reference PQ tuple (w, u, v): survivors per u are the k
+        # largest by (w, v) — v desc tie-break replicated.
+        w_rank = Window.partitionBy("u").orderBy(F.col("weight").desc(),
+                                                 F.col("v").desc())
+        nearest = bidir.withColumn("_rn", F.row_number().over(w_rank)).where(
+            F.col("_rn") <= k
+        ).select("u", "v", "weight").localCheckpoint()
 
     fwd = nearest
     rev = nearest.select(F.col("u").alias("v"), F.col("v").alias("u")).withColumn(

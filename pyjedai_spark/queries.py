@@ -640,6 +640,28 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_schema_name_matches(spark, sf_dir):
+    """Schema matching, name-based leg (ref schema/matching.py wraps
+    Valentine; re-expressed as normalized-Levenshtein over the two
+    column-name lists): customer vs supplier attributes."""
+    from pyjedai_spark.schema_matching import name_based_matches
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return name_based_matches(c, s)
+
+
+def q_schema_jaccard_leven(spark, sf_dir):
+    """Schema matching, instance-based leg (Valentine's
+    JaccardLevenMatcher semantics, length-banded value join): fuzzy
+    value-overlap of customer vs supplier string columns."""
+    from pyjedai_spark.schema_matching import jaccard_leven_matches
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return jaccard_leven_matches(c, s, threshold_leven=0.8)
+
+
 _EMB_DIM = 64  # testdata embeddings are 64-dim at every SF (TESTDATA.md)
 
 
@@ -907,17 +929,13 @@ def q_ricochet_clustering(spark, sf_dir):
 
 def q_kiraly_clustering(spark, sf_dir):
     m = _ccer_matches(spark, sf_dir)
-    side1 = [r["doc_id"] for r in
-             _docs(spark, sf_dir).where("doc_id % 2 = 0")
-             .select("doc_id").collect()]
+    side1 = _docs(spark, sf_dir).where("doc_id % 2 = 0").select("doc_id")
     return CL.kiraly_msm_clustering(m, side1, similarity_threshold=0.55)
 
 
 def q_row_column_clustering(spark, sf_dir):
     m = _ccer_matches(spark, sf_dir)
-    side1 = [r["doc_id"] for r in
-             _docs(spark, sf_dir).where("doc_id % 2 = 0")
-             .select("doc_id").collect()]
+    side1 = _docs(spark, sf_dir).where("doc_id % 2 = 0").select("doc_id")
     return CL.row_column_clustering(m, side1, similarity_threshold=0.55)
 
 
@@ -1288,6 +1306,8 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "corpus_clean": q_corpus_clean,
     "streaming_reconciled": q_streaming_reconciled,
+    "schema_name_matches": q_schema_name_matches,
+    "schema_jaccard_leven": q_schema_jaccard_leven,
     "meta_factory_wnp": q_meta_factory_wnp,
     "gopher_quality": q_gopher_quality,
     "source_stats": q_source_stats,
@@ -2036,6 +2056,46 @@ SELECT doc_id, 'near_dup', CAST(cluster_id AS BIGINT) FROM nd_drop"""
     # the reconciled streaming state must equal the batch pipeline
     # bit-for-bit — same oracle, no weaker claim
     o["streaming_reconciled"] = o["corpus_clean"]
+
+    # schema matching: the name leg enumerates both column-name lists as
+    # VALUES; the instance leg mirrors the fuzzy-Jaccard definition with
+    # a plain cross join (band-join optimization is engine-side only)
+    _CUST_COLS = "('c_custkey'),('c_name'),('c_nationkey'),('c_acctbal')," \
+                 "('c_mktsegment')"
+    _SUPP_COLS = "('s_suppkey'),('s_name'),('s_nationkey'),('s_acctbal')"
+    o["schema_name_matches"] = f"""WITH a(col1) AS (VALUES {_CUST_COLS}),
+b(col2) AS (VALUES {_SUPP_COLS})
+SELECT col1, col2,
+       round(CASE WHEN greatest(length(lower(col1)), length(lower(col2))) > 0
+             THEN 1.0 - levenshtein(lower(col1), lower(col2)) * 1.0
+                  / greatest(length(lower(col1)), length(lower(col2)))
+             ELSE 1.0 END, 6) AS score
+FROM a CROSS JOIN b"""
+
+    o["schema_jaccard_leven"] = """WITH v1 AS (
+  SELECT 'c_name' AS col1, val FROM (
+    SELECT DISTINCT c_name AS val FROM customer WHERE c_name IS NOT NULL)
+  UNION ALL
+  SELECT 'c_mktsegment', val FROM (
+    SELECT DISTINCT c_mktsegment AS val FROM customer
+    WHERE c_mktsegment IS NOT NULL)),
+v2 AS (
+  SELECT 's_name' AS col2, val FROM (
+    SELECT DISTINCT s_name AS val FROM supplier WHERE s_name IS NOT NULL)),
+n1 AS (SELECT col1, count(*) AS n1 FROM v1 GROUP BY col1),
+n2 AS (SELECT col2, count(*) AS n2 FROM v2 GROUP BY col2),
+m AS (
+  SELECT col1, col2, count(DISTINCT a.val) AS inter
+  FROM v1 a CROSS JOIN v2 b
+  WHERE round(CASE WHEN greatest(length(a.val), length(b.val)) > 0
+        THEN 1.0 - levenshtein(a.val, b.val) * 1.0
+             / greatest(length(a.val), length(b.val))
+        ELSE 1.0 END, 6) >= 0.8
+  GROUP BY col1, col2)
+SELECT n1.col1, n2.col2,
+       round(coalesce(inter * 1.0 / (n1 + n2 - inter), 0.0), 6) AS score
+FROM n1 CROSS JOIN n2
+LEFT JOIN m ON m.col1 = n1.col1 AND m.col2 = n2.col2"""
 
     # repetition stats: one units stream (lines / paragraphs / word
     # n-grams), per-unit counts, per-kind aggregates, conditional-agg
@@ -3152,7 +3212,7 @@ _DRIVER_PRIORITY = [
     "sb_block_stats", "source_quota", "events_windowed",
     "minhash_lsh_pairs", "minhash_near_dup", "minhash_lsh_pairs_salted",
     # round-3 additions
-    "streaming_reconciled",
+    "streaming_reconciled", "schema_name_matches", "schema_jaccard_leven",
     # rotate in r01-only greens for a second driver confirmation
     "der_dedup_clusters", "simhash_pairs", "substring_dedup",
     "duplicate_spans", "line_dedup", "pii_counts",

@@ -105,6 +105,15 @@ def main():
             bad += 1
         else:
             ok += 1
+        # reclaim localCheckpoint blocks the async ContextCleaner lags
+        # on — without this, a 100+-query session degrades steadily
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(True)
     print(f"\n{ok} ok, {bad} bad")
     spark.stop()
     sys.exit(1 if bad else 0)

@@ -35,3 +35,48 @@ def test_pipeline_resumes_from_checkpoint(spark, tmp_path):
                                   ckpt=CheckpointManager(root),
                                   fingerprint="fp2").collect()
     assert len(out3) == 10
+
+
+def _iceberg_available(spark):
+    try:
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS ckpt_probe_ns")
+        return True
+    except Exception:
+        return False
+
+
+def test_checkpoint_format_pluggable(spark, tmp_path):
+    """The writer/reader pair is selected in one place: the parquet and
+    iceberg formats run the SAME resume contract. Iceberg leg skips
+    when no catalog/runtime jar is configured (this sandbox)."""
+    import pytest
+
+    docs, _ = webtext_df(spark, n_docs=60, seed=4)
+    legs = [("parquet", str(tmp_path / "pq"), None)]
+    if _iceberg_available(spark):
+        legs.append(("iceberg", "ckpt_probe_ns.run1", str(tmp_path / "meta")))
+    else:
+        pytest.skip_iceberg = True  # marker for readability; leg omitted
+    for fmt, root, meta_dir in legs:
+        ck = CheckpointManager(root, fmt=fmt, meta_dir=meta_dir)
+        out1 = minhash_dedup_pipeline(docs, id_col="eid", ckpt=ck,
+                                      fingerprint="f1").collect()
+        # resume with poisoned input: checkpoint must win
+        docs2, _ = webtext_df(spark, n_docs=5, seed=2)
+        out2 = minhash_dedup_pipeline(
+            docs2, id_col="eid",
+            ckpt=CheckpointManager(root, fmt=fmt, meta_dir=meta_dir),
+            fingerprint="f1").collect()
+        assert sorted(map(tuple, out2)) == sorted(map(tuple, out1)), fmt
+        meta = json.load(open(os.path.join(
+            meta_dir or root, "clustering._lineage.json")))
+        assert meta["format"] == fmt
+
+
+def test_checkpoint_iceberg_requires_meta_dir():
+    import pytest
+
+    with pytest.raises(ValueError, match="meta_dir"):
+        CheckpointManager("cat.db.run", fmt="iceberg")
+    with pytest.raises(ValueError, match="unknown checkpoint format"):
+        CheckpointManager("/x", fmt="delta")
