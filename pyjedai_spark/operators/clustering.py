@@ -57,8 +57,14 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         e.select(F.col("u").alias("eid")).union(e.select(F.col("v").alias("eid")))
         .distinct()
     )
-    assign = graph_nodes.withColumn("label", F.col("eid")).localCheckpoint()
 
+    # per-round relabeling maps, composed LAZILY after the loop: each
+    # lab's lineage is rooted at that round's checkpointed edge set, so
+    # the composition is a chain of bounded joins evaluated in ONE final
+    # job — materializing the composed assignment every round (the
+    # previous shape) paid a full checkpoint job per round for data the
+    # loop itself never reads.
+    labs = []
     for _ in range(max_iter):
         if e.isEmpty():
             break
@@ -77,6 +83,11 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                   F.col("a.m") == F.col("_m"), "left")
             .select(F.col("a.u").alias("u"),
                     F.least(F.coalesce("_mm", "a.m"), F.col("a.m")).alias("m"))
+            # lab has THREE consumers (both e_new endpoint joins + the
+            # final composition); it is contracted-node-sized and
+            # shrinking, so materializing it is far cheaper than
+            # re-running its groupBy+jump per consumer
+            .localCheckpoint()
         )
         # contract: relabel edge endpoints by their new minimum
         e_new = (
@@ -89,14 +100,15 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
             .distinct()
             .localCheckpoint()
         )
-        # compose assignment with this round's relabeling
+        labs.append(lab)
+        e = e_new
+
+    assign = graph_nodes.withColumn("label", F.col("eid"))
+    for lab in labs:
         assign = (
             assign.join(lab.withColumnRenamed("u", "label"), "label", "left")
             .select("eid", F.coalesce("m", "label").alias("label"))
-            .localCheckpoint()
         )
-        e = e_new
-
     out = assign.select("eid", F.col("label").alias("cluster_id"))
     if nodes is not None:
         singles = nodes.select(F.col(nodes.columns[0]).alias("eid")).join(

@@ -662,6 +662,60 @@ def q_schema_jaccard_leven(spark, sf_dir):
     return jaccard_leven_matches(c, s, threshold_leven=0.8)
 
 
+def _spatial_frames(spark, sf_dir):
+    """Deterministic envelope tables derived from customer (source) and
+    supplier (target) keys — integer-valued doubles, so every grid/area
+    computation is exact and the DuckDB oracle reproduces it bit-for-bit
+    (no external geo data; envelopes are what the equigrid + MBR
+    algebra consumes)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("c_custkey")
+    src = c.select(
+        k.alias("id"),
+        ((k * 37) % 997).cast("double").alias("minx"),
+        ((k * 59) % 983).cast("double").alias("miny"),
+        (((k * 37) % 997) + 1 + (k % 19)).cast("double").alias("maxx"),
+        (((k * 59) % 983) + 1 + (k % 13)).cast("double").alias("maxy"))
+    j = F.col("s_suppkey")
+    tgt = s.select(
+        j.alias("id"),
+        ((j * 41) % 997).cast("double").alias("minx"),
+        ((j * 67) % 983).cast("double").alias("miny"),
+        (((j * 41) % 997) + 1 + (j % 23)).cast("double").alias("maxx"),
+        (((j * 67) % 983) + 1 + (j % 17)).cast("double").alias("maxy"))
+    return src, tgt
+
+
+def q_spatial_equigrid_cf(spark, sf_dir):
+    """Spatial ER filtering (ref spatial/filtering.py equigrid +
+    initialization.py CF weights): co-occurring-cell candidates with
+    envelope-intersection validity."""
+    from pyjedai_spark.operators.spatial import equigrid_candidates
+
+    src, tgt = _spatial_frames(spark, sf_dir)
+    return equigrid_candidates(src, tgt, "CF")
+
+
+def q_spatial_equigrid_js(spark, sf_dir):
+    """JS_APPROX weighting — exercises the reference's +1 block-count
+    quirk (getNoOfBlocks counts inclusive bounds while cell indexing is
+    range-exclusive)."""
+    from pyjedai_spark.operators.spatial import equigrid_candidates
+
+    src, tgt = _spatial_frames(spark, sf_dir)
+    return equigrid_candidates(src, tgt, "JS_APPROX")
+
+
+def q_spatial_topk_mbr(spark, sf_dir):
+    """Budgeted spatial init (ref initialization.py PQ): global top-200
+    pairs by MBR overlap weight."""
+    from pyjedai_spark.operators.spatial import spatial_topk
+
+    src, tgt = _spatial_frames(spark, sf_dir)
+    return spatial_topk(src, tgt, budget=200, w_scheme="MBR")
+
+
 _EMB_DIM = 64  # testdata embeddings are 64-dim at every SF (TESTDATA.md)
 
 
@@ -1308,6 +1362,9 @@ QUERIES = {
     "streaming_reconciled": q_streaming_reconciled,
     "schema_name_matches": q_schema_name_matches,
     "schema_jaccard_leven": q_schema_jaccard_leven,
+    "spatial_equigrid_cf": q_spatial_equigrid_cf,
+    "spatial_equigrid_js": q_spatial_equigrid_js,
+    "spatial_topk_mbr": q_spatial_topk_mbr,
     "meta_factory_wnp": q_meta_factory_wnp,
     "gopher_quality": q_gopher_quality,
     "source_stats": q_source_stats,
@@ -2056,6 +2113,92 @@ SELECT doc_id, 'near_dup', CAST(cluster_id AS BIGINT) FROM nd_drop"""
     # the reconciled streaming state must equal the batch pipeline
     # bit-for-bit — same oracle, no weaker claim
     o["streaming_reconciled"] = o["corpus_clean"]
+
+    # spatial ER: shared envelope-synthesis + equigrid CTEs; cell
+    # indexing is range-EXCLUSIVE at the ceil bound (reference
+    # addToIndex) while the JS block count keeps its +1 quirk
+    _SPATIAL_BASE = """src AS (
+  SELECT c_custkey AS id,
+         CAST((c_custkey * 37) % 997 AS DOUBLE) AS minx,
+         CAST((c_custkey * 59) % 983 AS DOUBLE) AS miny,
+         CAST((c_custkey * 37) % 997 + 1 + (c_custkey % 19) AS DOUBLE) AS maxx,
+         CAST((c_custkey * 59) % 983 + 1 + (c_custkey % 13) AS DOUBLE) AS maxy
+  FROM customer),
+tgt AS (
+  SELECT s_suppkey AS id,
+         CAST((s_suppkey * 41) % 997 AS DOUBLE) AS minx,
+         CAST((s_suppkey * 67) % 983 AS DOUBLE) AS miny,
+         CAST((s_suppkey * 41) % 997 + 1 + (s_suppkey % 23) AS DOUBLE) AS maxx,
+         CAST((s_suppkey * 67) % 983 + 1 + (s_suppkey % 17) AS DOUBLE) AS maxy
+  FROM tgt0),
+th AS (SELECT sum(maxx - minx) / count(*) AS tx,
+              sum(maxy - miny) / count(*) AS ty FROM src),
+cs AS (
+  SELECT id AS source_id, cx.x AS cx, cy.y AS cy FROM src, th,
+       LATERAL (SELECT unnest(generate_series(
+           CAST(floor(minx / th.tx) AS BIGINT),
+           CAST(ceil(maxx / th.tx) AS BIGINT) - 1)) AS x) cx,
+       LATERAL (SELECT unnest(generate_series(
+           CAST(floor(miny / th.ty) AS BIGINT),
+           CAST(ceil(maxy / th.ty) AS BIGINT) - 1)) AS y) cy),
+ct AS (
+  SELECT id AS target_id, cx.x AS cx, cy.y AS cy FROM tgt, th,
+       LATERAL (SELECT unnest(generate_series(
+           CAST(floor(minx / th.tx) AS BIGINT),
+           CAST(ceil(maxx / th.tx) AS BIGINT) - 1)) AS x) cx,
+       LATERAL (SELECT unnest(generate_series(
+           CAST(floor(miny / th.ty) AS BIGINT),
+           CAST(ceil(maxy / th.ty) AS BIGINT) - 1)) AS y) cy),
+common AS (
+  SELECT source_id, target_id, count(*) AS common_cells
+  FROM cs JOIN ct USING (cx, cy) GROUP BY source_id, target_id),
+cand AS (
+  SELECT c.source_id, c.target_id, c.common_cells,
+         s.minx AS s_minx, s.miny AS s_miny, s.maxx AS s_maxx,
+         s.maxy AS s_maxy,
+         t.minx AS t_minx, t.miny AS t_miny, t.maxx AS t_maxx,
+         t.maxy AS t_maxy
+  FROM common c
+  JOIN src s ON s.id = c.source_id
+  JOIN tgt t ON t.id = c.target_id
+  WHERE s.minx <= t.maxx AND t.minx <= s.maxx
+    AND s.miny <= t.maxy AND t.miny <= s.maxy)""".replace(
+        "FROM tgt0", "FROM supplier")
+
+    o["spatial_equigrid_cf"] = f"""WITH {_SPATIAL_BASE}
+SELECT source_id, target_id, CAST(common_cells AS BIGINT) AS common_cells,
+       round(CAST(common_cells AS DOUBLE), 6) AS weight
+FROM cand"""
+
+    o["spatial_equigrid_js"] = f"""WITH {_SPATIAL_BASE}
+SELECT source_id, target_id, CAST(common_cells AS BIGINT) AS common_cells,
+       round(common_cells /
+         ((CAST(ceil(s_maxx / th.tx) AS BIGINT)
+           - CAST(floor(s_minx / th.tx) AS BIGINT) + 1)
+          * (CAST(ceil(s_maxy / th.ty) AS BIGINT)
+             - CAST(floor(s_miny / th.ty) AS BIGINT) + 1)
+          + (CAST(ceil(t_maxx / th.tx) AS BIGINT)
+             - CAST(floor(t_minx / th.tx) AS BIGINT) + 1)
+            * (CAST(ceil(t_maxy / th.ty) AS BIGINT)
+               - CAST(floor(t_miny / th.ty) AS BIGINT) + 1)
+          - common_cells), 6) AS weight
+FROM cand, th"""
+
+    o["spatial_topk_mbr"] = f"""WITH {_SPATIAL_BASE},
+mbr AS (
+  SELECT source_id, target_id,
+         greatest(0.0, least(s_maxx, t_maxx) - greatest(s_minx, t_minx))
+         * greatest(0.0, least(s_maxy, t_maxy) - greatest(s_miny, t_miny))
+           AS inter,
+         (s_maxx - s_minx) * (s_maxy - s_miny)
+         + (t_maxx - t_minx) * (t_maxy - t_miny) AS both_areas
+  FROM cand)
+SELECT source_id, target_id,
+       round(CASE WHEN both_areas - inter <> 0
+                  THEN inter / (both_areas - inter) ELSE 0.0 END, 6) AS weight
+FROM mbr
+ORDER BY weight DESC, source_id DESC, target_id DESC
+LIMIT 200"""
 
     # schema matching: the name leg enumerates both column-name lists as
     # VALUES; the instance leg mirrors the fuzzy-Jaccard definition with
@@ -3213,6 +3356,7 @@ _DRIVER_PRIORITY = [
     "minhash_lsh_pairs", "minhash_near_dup", "minhash_lsh_pairs_salted",
     # round-3 additions
     "streaming_reconciled", "schema_name_matches", "schema_jaccard_leven",
+    "spatial_equigrid_cf", "spatial_equigrid_js", "spatial_topk_mbr",
     # rotate in r01-only greens for a second driver confirmation
     "der_dedup_clusters", "simhash_pairs", "substring_dedup",
     "duplicate_spans", "line_dedup", "pii_counts",

@@ -38,8 +38,13 @@ def test_pipeline_resumes_from_checkpoint(spark, tmp_path):
 
 
 def _iceberg_available(spark):
+    """Probe the actual write path: the default session catalog accepts
+    CREATE NAMESPACE without any Iceberg runtime, so only a real
+    ``using("iceberg")`` writeTo proves the jar + catalog are there."""
     try:
         spark.sql("CREATE NAMESPACE IF NOT EXISTS ckpt_probe_ns")
+        spark.range(1).writeTo("ckpt_probe_ns.probe").using("iceberg") \
+            .createOrReplace()
         return True
     except Exception:
         return False
@@ -52,11 +57,10 @@ def test_checkpoint_format_pluggable(spark, tmp_path):
     import pytest
 
     docs, _ = webtext_df(spark, n_docs=60, seed=4)
+    del pytest  # parquet leg always runs; iceberg leg self-skips below
     legs = [("parquet", str(tmp_path / "pq"), None)]
     if _iceberg_available(spark):
         legs.append(("iceberg", "ckpt_probe_ns.run1", str(tmp_path / "meta")))
-    else:
-        pytest.skip_iceberg = True  # marker for readability; leg omitted
     for fmt, root, meta_dir in legs:
         ck = CheckpointManager(root, fmt=fmt, meta_dir=meta_dir)
         out1 = minhash_dedup_pipeline(docs, id_col="eid", ckpt=ck,
