@@ -75,20 +75,28 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
             ).distinct()
         )
         lab = closed.groupBy("u").agg(F.min("v").alias("m"))
-        # pointer-jump once (lab := lab∘lab): shortcuts label chains so
-        # long paths contract in O(log diameter) rounds, not O(diameter)
-        lab = (
-            lab.alias("a")
-            .join(lab.select(F.col("u").alias("_m"), F.col("m").alias("_mm")),
-                  F.col("a.m") == F.col("_m"), "left")
-            .select(F.col("a.u").alias("u"),
-                    F.least(F.coalesce("_mm", "a.m"), F.col("a.m")).alias("m"))
-            # lab has THREE consumers (both e_new endpoint joins + the
-            # final composition); it is contracted-node-sized and
-            # shrinking, so materializing it is far cheaper than
-            # re-running its groupBy+jump per consumer
-            .localCheckpoint()
-        )
+        # pointer-jump lab := lab∘lab THREE times: on an ascending path
+        # the min-neighborhood labels form a shift map (i -> i-1), so a
+        # single jump only contracts the path by 2 edges per round —
+        # LINEAR rounds, silently capped by max_iter on long chains.
+        # Composing the map with itself j times contracts chains by
+        # ~2^j per round, i.e. rounds = O(log_{2^j} diameter); j=3 keeps
+        # it 3 node-sized self-joins folded into the one checkpoint job.
+        for _ in range(3):
+            lab = (
+                lab.alias("a")
+                .join(lab.select(F.col("u").alias("_m"),
+                                 F.col("m").alias("_mm")),
+                      F.col("a.m") == F.col("_m"), "left")
+                .select(F.col("a.u").alias("u"),
+                        F.least(F.coalesce("_mm", "a.m"),
+                                F.col("a.m")).alias("m"))
+            )
+        # lab has THREE consumers (both e_new endpoint joins + the
+        # final composition); it is contracted-node-sized and
+        # shrinking, so materializing it is far cheaper than
+        # re-running its groupBy+jumps per consumer
+        lab = lab.localCheckpoint()
         # contract: relabel edge endpoints by their new minimum
         e_new = (
             e.join(lab.withColumnRenamed("u", "_x").withColumnRenamed("m", "mu"),
@@ -102,6 +110,12 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         )
         labs.append(lab)
         e = e_new
+    else:
+        if not e.isEmpty():
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds — raise max_iter (labels would be silently "
+                "wrong if returned)")
 
     assign = graph_nodes.withColumn("label", F.col("eid"))
     for lab in labs:

@@ -18,6 +18,26 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(autouse=True)
+def _reclaim_blocks(request):
+    """Unpersist leftover localCheckpoint blocks after each test: the
+    async ContextCleaner lags and a 190-test single-JVM session
+    otherwise degrades steadily (same fix as bench.py / check_oracles).
+    Only runs when the test actually touched the session-scoped spark
+    fixture."""
+    yield
+    if "spark" not in request.fixturenames:
+        return
+    import gc
+
+    gc.collect()
+    s = request.getfixturevalue("spark")
+    s.catalog.clearCache()
+    it = s.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(True)
+
+
 @pytest.fixture(scope="session")
 def docs(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
