@@ -201,13 +201,26 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, threshold: float,
                    text_col: str = "text", round_to: int = 6) -> DataFrame:
     """Exact token(-shingle) Jaccard on candidate pairs; keep >= threshold.
     (True Jaccard inter/union — the verification step of a MinHash
-    pipeline, not the reference's quirky matcher form.)"""
-    toks = T.tokens(F.col(text_col))
+    pipeline, not the reference's quirky matcher form.)
+
+    The shingle table is built ONCE over only the docs that appear in a
+    candidate pair (semi-join) and materialized before the two
+    endpoint joins: without that, each join side re-tokenizes the FULL
+    corpus (2x the scan + shingle work — the dominant verify cost at
+    2M docs), and at crawl scale the materialization is bounded by the
+    candidate set, not the corpus."""
+    toks = T.tokens(F.col("_txt"))
     if shingle_size > 1:
         toks = F.array_distinct(
-            T.word_shingles(T.tokens(F.col(text_col), distinct=False), shingle_size)
+            T.word_shingles(T.tokens(F.col("_txt"), distinct=False), shingle_size)
         )
-    tdf = docs.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+    cand_ids = (pairs.select(F.col("id1").alias("_id"))
+                .union(pairs.select(F.col("id2").alias("_id")))
+                .distinct())
+    tdf = (docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+           .join(cand_ids, "_id", "left_semi")
+           .select("_id", toks.alias("_t"))
+           .localCheckpoint())
     j = (
         pairs.join(tdf.select(F.col("_id").alias("id1"), F.col("_t").alias("_t1")), "id1")
         .join(tdf.select(F.col("_id").alias("id2"), F.col("_t").alias("_t2")), "id2")
