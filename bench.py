@@ -143,8 +143,8 @@ def main() -> None:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", name],
             capture_output=True, text=True, env=os.environ)
-        line = [ln for ln in proc.stdout.splitlines()
-                if ln.startswith("{")][-1] if proc.stdout.strip() else None
+        cand = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        line = cand[-1] if cand else None
         if proc.returncode != 0 or line is None:
             sys.stderr.write(f"bench worker {name} failed:\n{proc.stderr[-2000:]}\n")
             raise SystemExit(1)

@@ -107,8 +107,11 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
 def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """(eid, fingerprint): md5 of whitespace-normalized lowercase text —
-    the exact-dedup / lineage fingerprint."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    the exact-dedup / lineage fingerprint. NULL text hashes as empty
+    text (md5(NULL) would be NULL, which never joins against a prior
+    fingerprint store — so streaming and batch must both coalesce)."""
+    base = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.lower(F.regexp_replace(base, r"\s+", " "))
     return docs.select(F.col(id_col).alias("eid"), F.md5(norm).alias("fingerprint"))
 
 

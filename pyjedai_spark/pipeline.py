@@ -77,7 +77,7 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", url_col: str | None = None,
                           k: int = 32, bands: int = 8, shingle_size: int = 3,
                           jaccard_threshold: float = 0.5,
-                          max_bucket: int | None = None,
+                          max_bucket: int | None = 1000,
                           ckpt: CheckpointManager | None = None,
                           fingerprint: str = "") -> DataFrame:
     """The full training-data cleaning pass in one call — every input
@@ -103,6 +103,13 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
     is given — durable, resumable mid-run with lineage metrics like the
     other pipelines — else localCheckpoint) because every stage's
     survivor set fans out into stage N+1 and the final union.
+
+    ``max_bucket`` defaults BOUNDED (1000): at crawl scale one
+    boilerplate band-hash bucket with 10^8 members would otherwise
+    enumerate ~10^16 pairs. Pass ``max_bucket=None`` for exact
+    (uncapped) enumeration at test scale, or route hot buckets through
+    the salted enumerator via ``lsh_candidate_pairs(salted_chunk=...)``
+    when capped recall loss is unacceptable.
     """
     from .functions import analysis as A
     from .functions import urls as U

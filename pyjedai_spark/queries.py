@@ -547,7 +547,9 @@ def q_corpus_clean(spark, sf_dir):
                    F.lit("?utm_source=feed&b=2&a=1#frag"))
             .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2"))
             .otherwise(F.lit(""))).alias("url"))
-    out = corpus_clean_pipeline(docs, url_col="url")
+    # explicitly uncapped: the DuckDB oracle enumerates every bucket, so
+    # the registry surface must too (the production DEFAULT is capped)
+    out = corpus_clean_pipeline(docs, url_col="url", max_bucket=None)
     return out.select(F.col("eid").alias("doc_id"), "status", "survivor")
 
 
@@ -714,6 +716,38 @@ def q_spatial_topk_mbr(spark, sf_dir):
 
     src, tgt = _spatial_frames(spark, sf_dir)
     return spatial_topk(src, tgt, budget=200, w_scheme="MBR")
+
+
+def _spatial_classified(spark, sf_dir):
+    from pyjedai_spark.operators.spatial import (de9im_relations,
+                                                 envelope_de9im,
+                                                 equigrid_candidates)
+
+    src, tgt = _spatial_frames(spark, sf_dir)
+    cand = equigrid_candidates(src, tgt, "CF", require_intersection=False,
+                               keep_envelopes=True)
+    return de9im_relations(envelope_de9im(cand))
+
+
+def q_spatial_relations(spark, sf_dir):
+    """DE-9IM relation classification (ref spatial/verification.py
+    verifyRelations): exact rectangle relate matrices + the reference's
+    Pattern/AntiPattern/NOrPattern named relations as int flags —
+    validity filter OFF so the disjoint/touch branches are exercised."""
+    rel = _spatial_classified(spark, sf_dir)
+    return rel.select(
+        "source_id", "target_id", "de9im", "intersects", "contains",
+        "within", "covered_by", "covers", "crosses", "equals", "overlaps",
+        "touches", "detected_links", "related")
+
+
+def q_spatial_relation_stats(spark, sf_dir):
+    """RelatedGeometries counters (ref verification.py:88-181): one
+    aggregate row of verified/linked/interlinked + per-relation
+    counts."""
+    from pyjedai_spark.operators.spatial import related_geometries_stats
+
+    return related_geometries_stats(_spatial_classified(spark, sf_dir))
 
 
 _EMB_DIM = 64  # testdata embeddings are 64-dim at every SF (TESTDATA.md)
@@ -1019,10 +1053,25 @@ def q_ccer_unique_mapping(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal: binary payload -> 64-dim content feature (Arrow
-    pandas UDF; deterministic synthetic media, no external data)."""
+    pandas UDF; deterministic synthetic media, no external data).
+
+    Registry surface projects the array<float> embedding to a hashable
+    digest + scalar stats: the driver's canonicalizer (pandas factorize)
+    cannot hash list cells, and the raw vectors stay available through
+    ``multimodal.media_features`` itself (pixel-exact tests pin them)."""
     from . import multimodal as MM
 
-    return MM.media_features(MM.synth_media(spark, 60))
+    feats = MM.media_features(MM.synth_media(spark, 60))
+    rounded = F.transform("embedding",
+                          lambda x: F.round(x.cast("double"), 5))
+    return feats.select(
+        "media_id", "kind",
+        F.size("embedding").alias("emb_dim"),
+        F.md5(F.concat_ws(",", F.transform(rounded,
+                                           lambda x: x.cast("string"))))
+        .alias("emb_md5"),
+        F.round(F.aggregate(rounded, F.lit(0.0),
+                            lambda acc, x: acc + x * x), 4).alias("emb_sq"))
 
 
 def q_video_frame_sample(spark, sf_dir):
@@ -1365,6 +1414,8 @@ QUERIES = {
     "spatial_equigrid_cf": q_spatial_equigrid_cf,
     "spatial_equigrid_js": q_spatial_equigrid_js,
     "spatial_topk_mbr": q_spatial_topk_mbr,
+    "spatial_relations": q_spatial_relations,
+    "spatial_relation_stats": q_spatial_relation_stats,
     "meta_factory_wnp": q_meta_factory_wnp,
     "gopher_quality": q_gopher_quality,
     "source_stats": q_source_stats,
@@ -1453,9 +1504,10 @@ SELECT count(*) AS num_blocks,
        CAST(sum(block_size * (block_size - 1) / 2) AS BIGINT) AS total_comparisons,
        round(median(block_size), 6) AS median_block_size,
        round(stddev_pop(block_size), 6) AS stddev_block_size,
-       round(ln(tot.t) - sum(block_size * ln(block_size)) / tot.t, 6)
+       round(ln((SELECT max(t) FROM tot))
+             - sum(block_size * ln(block_size)) / (SELECT max(t) FROM tot), 6)
            AS entropy
-FROM sizes, tot GROUP BY tot.t"""
+FROM sizes"""
 
     o["block_purging"] = f"""WITH {SB},
 {_purging_sql('sb', 1.0, 'pp')}
@@ -1617,7 +1669,7 @@ SELECT doc_id, fingerprint,
 FROM h"""
 
     o["doc_fingerprint"] = """SELECT doc_id,
-       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+       md5(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents"""
 
     o["minhash_bands"] = f"""WITH {_tokhash_sql(3)},
@@ -2197,7 +2249,112 @@ SELECT source_id, target_id,
        round(CASE WHEN both_areas - inter <> 0
                   THEN inter / (both_areas - inter) ELSE 0.0 END, 6) AS weight
 FROM mbr
-ORDER BY weight DESC, source_id DESC, target_id DESC
+ORDER BY weight DESC, source_id DESC, target_id DESC"""
+
+    # DE-9IM layer: same CTEs but cand WITHOUT the validity filter (the
+    # classifier wants disjoint cell-co-occurring pairs too), then the
+    # exact rectangle relate matrix + the reference's pattern algebra
+    _SPATIAL_BASE_ALL = _SPATIAL_BASE.replace(
+        """
+  WHERE s.minx <= t.maxx AND t.minx <= s.maxx
+    AND s.miny <= t.maxy AND t.miny <= s.maxy""", "")
+    assert "WHERE s.minx" not in _SPATIAL_BASE_ALL
+
+    def _edge_in_int_sql(a, b):
+        # box b's boundary enters box a's OPEN interior
+        return (
+            f"((({a}_minx < {b}_minx AND {b}_minx < {a}_maxx)"
+            f" OR ({a}_minx < {b}_maxx AND {b}_maxx < {a}_maxx))"
+            f" AND greatest({a}_miny,{b}_miny) < least({a}_maxy,{b}_maxy))"
+            f" OR ((({a}_miny < {b}_miny AND {b}_miny < {a}_maxy)"
+            f" OR ({a}_miny < {b}_maxy AND {b}_maxy < {a}_maxy))"
+            f" AND greatest({a}_minx,{b}_minx) < least({a}_maxx,{b}_maxx))")
+
+    def _cross_sql(a, b):
+        # vertical edge of b crosses/touches a horizontal edge of a
+        return (
+            f"((({a}_minx <= {b}_minx AND {b}_minx <= {a}_maxx)"
+            f" OR ({a}_minx <= {b}_maxx AND {b}_maxx <= {a}_maxx))"
+            f" AND (({b}_miny <= {a}_miny AND {a}_miny <= {b}_maxy)"
+            f" OR ({b}_miny <= {a}_maxy AND {a}_maxy <= {b}_maxy)))")
+
+    _II = ("greatest(s_minx,t_minx) < least(s_maxx,t_maxx)"
+           " AND greatest(s_miny,t_miny) < least(s_maxy,t_maxy)")
+    _S_IN_T = ("t_minx <= s_minx AND s_maxx <= t_maxx"
+               " AND t_miny <= s_miny AND s_maxy <= t_maxy")
+    _T_IN_S = ("s_minx <= t_minx AND t_maxx <= s_maxx"
+               " AND s_miny <= t_miny AND t_maxy <= s_maxy")
+    _BB1 = (
+        "((s_minx = t_minx OR s_minx = t_maxx OR s_maxx = t_minx"
+        " OR s_maxx = t_maxx)"
+        " AND greatest(s_miny,t_miny) < least(s_maxy,t_maxy))"
+        " OR ((s_miny = t_miny OR s_miny = t_maxy OR s_maxy = t_miny"
+        " OR s_maxy = t_maxy)"
+        " AND greatest(s_minx,t_minx) < least(s_maxx,t_maxx))")
+    _BB0 = f"({_cross_sql('s', 't')}) OR ({_cross_sql('t', 's')})"
+
+    _DE9IM_EXPR = (
+        f"CASE WHEN {_II} THEN '2' ELSE 'F' END"
+        f" || CASE WHEN {_edge_in_int_sql('s', 't')} THEN '1' ELSE 'F' END"
+        f" || CASE WHEN {_S_IN_T} THEN 'F' ELSE '2' END"
+        f" || CASE WHEN {_edge_in_int_sql('t', 's')} THEN '1' ELSE 'F' END"
+        f" || CASE WHEN {_BB1} THEN '1' WHEN {_BB0} THEN '0' ELSE 'F' END"
+        f" || CASE WHEN {_S_IN_T} THEN 'F' ELSE '1' END"
+        f" || CASE WHEN {_T_IN_S} THEN 'F' ELSE '2' END"
+        f" || CASE WHEN {_T_IN_S} THEN 'F' ELSE '1' END"
+        f" || '2'")
+
+    def _pat_sql(pat: str) -> str:
+        conds = []
+        for i, p in enumerate(pat):
+            if p == "*":
+                continue
+            c = f"substr(de9im,{i + 1},1)"
+            conds.append(f"{c} IN ('0','1','2')" if p == "T"
+                         else f"{c} = '{p}'")
+        return "(" + " AND ".join(conds) + ")"
+
+    from pyjedai_spark.operators.spatial import DE9IM_RELATIONS
+    _REL_FLAGS = {"intersects": f"(NOT {_pat_sql('FF*FF****')})"}
+    for _rn, _pats in DE9IM_RELATIONS.items():
+        _REL_FLAGS[_rn] = "(" + " OR ".join(_pat_sql(p) for p in _pats) + ")"
+    # "overlaps" is a reserved operator keyword in DuckDB — quote it
+    _FLAG_SELECT = ",\n       ".join(
+        f'CAST({e} AS INTEGER) AS "{n}"' for n, e in _REL_FLAGS.items())
+    _LINK_SUM = " + ".join(f"CAST({e} AS INTEGER)"
+                           for e in _REL_FLAGS.values())
+
+    _SPATIAL_REL_CTE = f"""{_SPATIAL_BASE_ALL},
+m AS (
+  SELECT source_id, target_id, {_DE9IM_EXPR} AS de9im FROM cand),
+rel AS (
+  SELECT source_id, target_id, de9im,
+       {_FLAG_SELECT},
+       {_LINK_SUM} AS detected_links
+  FROM m)"""
+
+    o["spatial_relations"] = f"""WITH {_SPATIAL_REL_CTE}
+SELECT source_id, target_id, de9im, intersects, contains, within,
+       covered_by, covers, crosses, equals, "overlaps", touches,
+       detected_links,
+       CAST(detected_links > 0 AS INTEGER) AS related
+FROM rel"""
+
+    o["spatial_relation_stats"] = f"""WITH {_SPATIAL_REL_CTE}
+SELECT count(*) AS verified_pairs,
+       CAST(sum(detected_links) AS BIGINT) AS detected_links,
+       CAST(sum(CASE WHEN detected_links > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS interlinked_geometries,
+       CAST(sum(contains) AS BIGINT) AS n_contains,
+       CAST(sum(covered_by) AS BIGINT) AS n_covered_by,
+       CAST(sum(covers) AS BIGINT) AS n_covers,
+       CAST(sum(crosses) AS BIGINT) AS n_crosses,
+       CAST(sum(equals) AS BIGINT) AS n_equals,
+       CAST(sum(intersects) AS BIGINT) AS n_intersects,
+       CAST(sum("overlaps") AS BIGINT) AS n_overlaps,
+       CAST(sum(touches) AS BIGINT) AS n_touches,
+       CAST(sum(within) AS BIGINT) AS n_within
+FROM rel
 LIMIT 200"""
 
     # schema matching: the name leg enumerates both column-name lists as

@@ -121,15 +121,19 @@ def test_reconcile_equals_batch_pipeline(spark, tmp_path):
     mid = GOOD + " u1 u2 u3 u4 u5 u6 u7"
     far = GOOD + " u1 u2 u3 u4 u5 u6 u7 v1 v2 v3 v4 v5 v6 v7 v8 v9 w1 w2 w3"
     batches = [
-        # batch 0: two docs that are NOT near-dups of each other
+        # batch 0: two docs that are NOT near-dups of each other; 8 has
+        # NULL text (fingerprint must coalesce to md5(''), not md5(NULL))
         [(0, GOOD, "https://a.com/1"), (1, far, "https://a.com/2"),
-         (2, "tiny", "https://b.com/x"), (3, GOOD2, "https://c.com/y")],
+         (2, "tiny", "https://b.com/x"), (3, GOOD2, "https://c.com/y"),
+         (8, None, "https://h.com/8")],
         # batch 1: 4 bridges 0 and 1 (near-dup of both); 5 exact dup of 3;
-        # 6 url dup of 0's url; 7 null url survives
+        # 6 url dup of 0's url; 7 null url survives; 9 empty text — must
+        # exact-dup the prior NULL-text doc 8 across the batch boundary
         [(4, mid, "https://d.com/3"), (5, GOOD2, "https://e.com/4"),
          (6, GOOD2 + " more words here", "HTTPS://A.COM:443/1"),
          (7, GOOD2 + " alpha beta gamma delta epsilon zeta eta theta iota "
-          "kappa lam mu nu xi omicron pi rho sigma tau", None)],
+          "kappa lam mu nu xi omicron pi rho sigma tau", None),
+         (9, "", "https://i.com/9")],
     ]
     rows = [r for b in batches for r in b]
     state, out = str(tmp_path / "state"), str(tmp_path / "out")
@@ -150,3 +154,6 @@ def test_reconcile_equals_batch_pipeline(spark, tmp_path):
     assert rec == want
     # and the bridge actually merged: 1 now defers to 0 through 4
     assert rec[1] == ("near_dup", 0) and rec[4] == ("near_dup", 0)
+    # null-text fingerprint joined the prior store: 9 exact-dups 8, not
+    # a NULL-keyed miss that would leave both independently labeled
+    assert pre[9] == "exact_dup"

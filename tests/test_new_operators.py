@@ -325,6 +325,35 @@ def test_corpus_clean_pipeline(spark):
     assert len(out) == 5  # every input doc labeled exactly once
 
 
+def test_corpus_clean_default_is_bucket_capped(spark):
+    """The production default must BOUND the LSH bucket enumeration (at
+    crawl scale an uncapped boilerplate bucket enumerates ~10^16 pairs):
+    the signature default is the 1000 cap, and the cap genuinely flows
+    through to the pair enumerator — with max_bucket=1 every bucket is
+    oversized, so no near-dup pair survives, while max_bucket=None finds
+    the pair."""
+    import inspect
+
+    from pyjedai_spark.pipeline import corpus_clean_pipeline
+
+    assert inspect.signature(corpus_clean_pipeline) \
+        .parameters["max_bucket"].default == 1000
+
+    base = ("the quick brown fox jumps over that lazy dog with good text "
+            * 10).strip()
+    rows = [(0, base, "https://a.com/1"),
+            (1, base + " plus tail", "https://b.com/2")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    uncapped = {r["eid"]: r["status"] for r in
+                corpus_clean_pipeline(docs, url_col="url",
+                                      max_bucket=None).collect()}
+    assert uncapped == {0: "kept", 1: "near_dup"}
+    capped = {r["eid"]: r["status"] for r in
+              corpus_clean_pipeline(docs, url_col="url",
+                                    max_bucket=1).collect()}
+    assert capped == {0: "kept", 1: "kept"}
+
+
 def test_corpus_clean_resumes_from_checkpoint(spark, tmp_path):
     from pyjedai_spark.checkpoint import CheckpointManager
     from pyjedai_spark.pipeline import corpus_clean_pipeline
