@@ -85,6 +85,22 @@ def _ejoin_cosine_zipf(spark, sf_dir):
 EXTRA_QUERIES = {"ejoin_cosine_zipf": _ejoin_cosine_zipf}
 
 
+def _host_calib() -> float:
+    """Single-thread CPU probe: MB/s of sha256 over a fixed buffer.
+    The sandbox hypervisor intermittently delivers a fraction of the
+    nominal cores (identical query legs measured 6x apart in rounds 3-4)
+    — publishing a fixed-work calibration next to each timing lets a
+    reader separate operator regressions from host degradation."""
+    import hashlib
+
+    buf = b"\xa5" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(96):
+        h.update(buf)
+    return round(96 / (time.perf_counter() - t0), 1)
+
+
 def _worker(name: str, sf_dir: str) -> None:
     """Fresh-JVM worker: run one query REPEATS times, print one JSON
     line with per-run wall seconds."""
@@ -101,8 +117,9 @@ def _worker(name: str, sf_dir: str) -> None:
 
     import gc
 
-    runs, rows = [], None
+    runs, rows, calib = [], None, []
     for _ in range(REPEATS):
+        calib.append(_host_calib())
         t0 = time.perf_counter()
         rows = fn(spark, sf_dir).count()  # count() forces the full plan
         runs.append(round(time.perf_counter() - t0, 3))
@@ -118,7 +135,8 @@ def _worker(name: str, sf_dir: str) -> None:
         while it.hasNext():
             it.next()._2().unpersist(True)
 
-    print(json.dumps({"query": name, "runs": runs, "rows": rows}))
+    print(json.dumps({"query": name, "runs": runs, "rows": rows,
+                      "calib_mb_s": calib}))
     spark.stop()
 
 
@@ -139,6 +157,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     extra_out: dict[str, float] = {}
+    calib_all: list[float] = []
     for name in HEADLINE + EXTRA:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", name],
@@ -153,6 +172,7 @@ def main() -> None:
         rec = json.loads(line)
         med = round(statistics.median(rec["runs"]), 3)
         all_runs[name] = rec["runs"]
+        calib_all.extend(rec.get("calib_mb_s", []))
         if name in EXTRA:
             extra_out[f"{name}_sec"] = med
         else:
@@ -171,6 +191,12 @@ def main() -> None:
         "runs": all_runs,
         "repeats": REPEATS,
         "method": "fresh JVM per query, median of repeats",
+        # single-thread sha256 MB/s sampled before every repeat: a
+        # stable host sustains ~uniform values; min/max spread >1.5x
+        # means the hypervisor was delivering variable effective cores
+        # during this bench (see _host_calib)
+        "host_calib_mb_s": {"min": min(calib_all), "max": max(calib_all),
+                            "median": round(statistics.median(calib_all), 1)},
         **extra_out,
     }
     print(json.dumps(out))

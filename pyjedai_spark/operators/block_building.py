@@ -29,9 +29,15 @@ def _postings(docs: DataFrame, keys_col, id_col: str) -> DataFrame:
 
 
 def keep_multi_entity_blocks(postings: DataFrame, min_size: int = 2,
-                             max_size: int | None = None) -> DataFrame:
+                             max_size: int | None = None,
+                             keep_size: bool = False) -> DataFrame:
     """HAVING count BETWEEN min AND max on block size, without losing the
     postings shape. Window avoids a second scan; partial agg is free.
+
+    ``keep_size=True`` retains the block size as ``bs`` — downstream
+    edge weighting (comparison_cleaning.edge_weights) needs exactly this
+    per-block size and can skip its own groupBy+join when the column is
+    already present.
 
     reference: drop_single_entity_blocks utils.py:105-122 (min);
     drop_big_blocks_by_size utils.py:85-103 (max).
@@ -41,7 +47,8 @@ def keep_multi_entity_blocks(postings: DataFrame, min_size: int = 2,
     cond = F.col("_bs") >= min_size
     if max_size is not None:
         cond = cond & (F.col("_bs") <= max_size)
-    return p.where(cond).drop("_bs")
+    p = p.where(cond)
+    return p.withColumnRenamed("_bs", "bs") if keep_size else p.drop("_bs")
 
 
 def standard_blocking(docs: DataFrame, id_col: str = "doc_id",

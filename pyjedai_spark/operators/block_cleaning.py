@@ -57,16 +57,9 @@ def purging_threshold(levels: list[tuple[int, float, float]],
     return prev_size
 
 
-def block_purging(postings: DataFrame, smoothing_factor: float = 1.025,
-                  dirty: bool = True) -> DataFrame:
-    """Drop blocks whose cardinality exceeds the scanned threshold
-    (BlockPurging, block_cleaning.py:110-207).
-
-    Plan: groupBy(key) -> groupBy(cardinality) level agg -> cumulative
-    window over the (tiny) level table -> collect scalar -> filter. The
-    only driver-side piece is the O(#levels) threshold scan.
-    """
-    cards = block_cardinalities(postings, dirty)
+def _scan_threshold(cards: DataFrame, smoothing_factor: float) -> float:
+    """Level-table collect + driver-side scan over an existing
+    cardinality frame (the O(#levels) piece of BlockPurging)."""
     levels = (
         cards.groupBy("cardinality")
         .agg(F.sum("block_size").alias("bs"), F.sum("cardinality").alias("cc"))
@@ -86,7 +79,21 @@ def block_purging(postings: DataFrame, smoothing_factor: float = 1.025,
         .select("cardinality", "cum_bs", "cum_cc")
         .collect()
     )
-    thr = purging_threshold([(r[0], r[1], r[2]) for r in levels], smoothing_factor)
+    return purging_threshold([(r[0], r[1], r[2]) for r in levels],
+                             smoothing_factor)
+
+
+def block_purging(postings: DataFrame, smoothing_factor: float = 1.025,
+                  dirty: bool = True) -> DataFrame:
+    """Drop blocks whose cardinality exceeds the scanned threshold
+    (BlockPurging, block_cleaning.py:110-207).
+
+    Plan: groupBy(key) -> groupBy(cardinality) level agg -> cumulative
+    window over the (tiny) level table -> collect scalar -> filter. The
+    only driver-side piece is the O(#levels) threshold scan.
+    """
+    cards = block_cardinalities(postings, dirty)
+    thr = _scan_threshold(cards, smoothing_factor)
     keep = cards.where(F.col("cardinality") <= F.lit(thr)).select("key")
     # broadcast the kept-key whitelist when it is small; Catalyst/AQE will
     # decide — we only express the semi-join.
@@ -105,7 +112,15 @@ def block_filtering(postings: DataFrame, ratio: float = 0.8,
     total order that both the Spark plan and any SQL oracle share.
     """
     cards = block_cardinalities(postings, dirty).select("key", "cardinality")
-    p = postings.join(cards, "key")
+    return _filter_with_cards(postings.join(cards, "key"), ratio, dirty)
+
+
+def _filter_with_cards(p: DataFrame, ratio: float, dirty: bool,
+                       keep_size: bool = False) -> DataFrame:
+    """BlockFiltering core over postings that already carry their
+    block's ``cardinality`` column (shared by :func:`block_filtering`
+    and the fused :func:`clean_blocks`). ``keep_size`` retains the
+    REBUILT block size as ``bs`` (dirty path only)."""
     w = Window.partitionBy("eid").orderBy(F.col("cardinality").asc(), F.col("key").asc())
     ranked = (
         p.withColumn("_rn", F.row_number().over(w))
@@ -131,4 +146,34 @@ def block_filtering(postings: DataFrame, ratio: float = 0.8,
     # rebuilt blocks may now be singletons -> drop (block_cleaning.py:97)
     from .block_building import keep_multi_entity_blocks
 
-    return keep_multi_entity_blocks(kept, 2)
+    return keep_multi_entity_blocks(kept, 2, keep_size=keep_size)
+
+
+def clean_blocks(postings: DataFrame, smoothing_factor: float = 1.025,
+                 ratio: float = 0.8, dirty: bool = True,
+                 materialize: bool = True, keep_size: bool = False) -> DataFrame:
+    """BlockPurging + BlockFiltering fused: output-identical to
+    ``block_filtering(block_purging(p, s), r)``, but the tokenized
+    postings materialize ONCE and the block-cardinality aggregate runs
+    ONCE (purging drops whole blocks, so a surviving block's cardinality
+    is unchanged — the original cardinality frame serves the threshold
+    scan, the purge filter, AND the filtering ranks).
+
+    The naive composition computes block cardinalities three times
+    (threshold collect, the purge semi-join's build side, filtering) and
+    tokenizes the corpus twice (threshold collect + the downstream
+    materialization) — at 100 TB that is two full extra passes over the
+    corpus. Pass ``materialize=False`` when ``postings`` is already a
+    checkpoint/materialized stage boundary.
+    """
+    if materialize:
+        postings = postings.localCheckpoint()
+    # one groupBy over materialized postings, materialized because it
+    # feeds both the level collect and the purge+filter join below
+    cards = block_cardinalities(postings, dirty).localCheckpoint()
+    thr = _scan_threshold(cards, smoothing_factor)
+    kept_cards = cards.where(F.col("cardinality") <= F.lit(thr)).select(
+        "key", "cardinality")
+    # inner join = purge semi-join + cardinality attach in one exchange
+    return _filter_with_cards(postings.join(kept_cards, "key"), ratio, dirty,
+                              keep_size=keep_size)

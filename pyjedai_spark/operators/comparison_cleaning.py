@@ -56,10 +56,17 @@ def edge_weights(postings: DataFrame, scheme: str = "CBS",
         return ccer_edge_weights(postings, scheme)
     scheme = scheme.upper()
 
-    sizes = postings.groupBy("key").agg(F.count("*").alias("bs")).withColumn(
-        "card", F.col("bs") * (F.col("bs") - 1) / 2
-    )
-    p = postings.join(sizes, "key")
+    if "bs" in postings.columns:
+        # block sizes precomputed upstream (clean_blocks(keep_size=True)
+        # retains the rebuilt size) — skip the groupBy + per-key join,
+        # one full exchange of the postings saved
+        p = postings.withColumn(
+            "card", F.col("bs") * (F.col("bs") - 1) / 2)
+    else:
+        sizes = postings.groupBy("key").agg(F.count("*").alias("bs")).withColumn(
+            "card", F.col("bs") * (F.col("bs") - 1) / 2
+        )
+        p = postings.join(sizes, "key")
     a = p.select("key", F.col("eid").alias("id1"), "bs", "card")
     b = p.select("key", F.col("eid").alias("id2"))
     pairs = a.join(b, "key").where(F.col("id1") < F.col("id2"))
@@ -120,7 +127,18 @@ def edge_weights(postings: DataFrame, scheme: str = "CBS",
                   .withColumnRenamed("cmp", "cmp2"), "id2")
         )
 
-    c, nb1, nb2 = F.col("counter"), F.col("nb1"), F.col("nb2")
+    w = _weight_expr(scheme, F.col("counter"), F.col("nb1"), F.col("nb2"),
+                     num_blocks, distinct_comparisons
+                     if scheme in NEEDS_CMP else None)
+    return e.select("id1", "id2", w.cast("double").alias("weight"),
+                    F.col("cbs").cast("double").alias("cbs"))
+
+
+def _weight_expr(scheme: str, c, nb1, nb2, num_blocks=None,
+                 distinct_comparisons=None):
+    """The per-scheme weight column over counter ``c`` and per-entity
+    block counts. ``cmp1``/``cmp2`` columns must exist for NEEDS_CMP
+    schemes."""
     if scheme in {"CBS", "CN-CBS", "SN-CBS"}:
         w = c
     elif scheme == "JS":
@@ -156,9 +174,7 @@ def edge_weights(postings: DataFrame, scheme: str = "CBS",
         w = _chi_square(o11, o12, o21, o22)
     else:
         raise ValueError(f"unknown weighting scheme {scheme}")
-
-    return e.select("id1", "id2", w.cast("double").alias("weight"),
-                    F.col("cbs").cast("double").alias("cbs"))
+    return w
 
 
 def _chi_square(o11, o12, o21, o22):
@@ -284,6 +300,10 @@ def cardinality_node_pruning(postings: DataFrame, scheme: str = "CBS",
         # v desc) order as the reference PQ tuple, but no 2x edge-table
         # materialization and no data-sized window sort; the edge frame
         # has a single consumer chain so it needs no checkpoint.
+        # (A single-shuffle variant — both orientations enumerated with
+        # nb pre-attached, both aggs clustered by u — measured SLOWER:
+        # doubling the pre-agg enumeration to 2x pairs costs more than
+        # the saved exchanges, 7.2s vs 4.4s at sf0.1.)
         e = edge_weights(postings, scheme)
         bidir = e.select(
             F.explode(F.array(

@@ -44,12 +44,15 @@ def der_dedup_pipeline(docs: DataFrame, id_col: str = "doc_id",
     postings = ck.stage(spark, "blocking",
                         lambda: BB.standard_blocking(docs, id_col, text_col),
                         fingerprint)
-    purged = ck.stage(spark, "purging",
-                      lambda: BC.block_purging(postings, purging_smoothing),
-                      fingerprint)
-    filtered = ck.stage(spark, "filtering",
-                        lambda: BC.block_filtering(purged, filtering_ratio),
-                        fingerprint)
+    # fused purge+filter: one cardinality aggregate serves the threshold
+    # scan, the purge join and the filter ranks (clean_blocks docstring);
+    # postings is already a materialized stage boundary
+    filtered = ck.stage(
+        spark, "block_cleaning",
+        lambda: BC.clean_blocks(postings, purging_smoothing,
+                                filtering_ratio, materialize=False,
+                                keep_size=True),
+        fingerprint)
     candidates = ck.stage(
         spark, "cnp",
         lambda: CC.cardinality_node_pruning(filtered, cnp_scheme,

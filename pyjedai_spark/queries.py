@@ -664,6 +664,83 @@ def q_schema_jaccard_leven(spark, sf_dir):
     return jaccard_leven_matches(c, s, threshold_leven=0.8)
 
 
+def _schema_cluster_frames(spark, sf_dir):
+    """Deterministic two-dataset fixture for schema clustering: the
+    documents table split even/odd and re-projected under DIFFERENT
+    column names with overlapping value domains (title/headline share a
+    text-prefix vocabulary, site/domain the source labels, nchars/size
+    the length integers; id/rid are disjoint). title/headline are
+    nulled on a doc_id stripe to exercise the notna row-membership
+    rule."""
+    docs = _docs(spark, sf_dir)
+    d1 = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 7 != 0,
+               F.substring("text", 1, 40)).alias("title"),
+        F.substring("text", 1, 120).alias("body"),
+        F.concat(F.lit("src"),
+                 (F.floor(F.col("doc_id") / 2) % 10)).alias("site"),
+        F.col("lang").alias("lang1"),
+        F.col("n_chars").alias("nchars"))
+    d2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("rid"),
+        F.when(F.col("doc_id") % 5 != 0,
+               F.substring("text", 1, 40)).alias("headline"),
+        F.substring("text", 1, 120).alias("content"),
+        F.concat(F.lit("src"),
+                 (F.floor(F.col("doc_id") / 2) % 10)).alias("domain"),
+        F.col("lang").alias("lang2"),
+        F.col("n_chars").alias("size"))
+    return d1, d2
+
+
+def q_schema_clustering(spark, sf_dir):
+    """Attribute-level schema clustering (ref schema/clustering.py:146-
+    211): value-mode attribute documents -> SB -> CCER purge(1.0) ->
+    filter(0.8) -> EM cosine > 0.35 (the config the reference AUTHORS
+    intended — their dict puts cosine/0.35 outside 'params' so the
+    workflow silently falls back to dice/0.0; the module defaults to
+    that effective config, this query exercises the intended one) ->
+    2-element CC + the appended redundant cluster."""
+    from pyjedai_spark.schema_clustering import schema_attribute_clusters
+
+    d1, d2 = _schema_cluster_frames(spark, sf_dir)
+    return schema_attribute_clusters(d1, d2, on="values", id_col="id",
+                                     id_col2="rid", metric="cosine",
+                                     similarity_threshold=0.35) \
+        .withColumn("cluster_id", F.col("cluster_id").cast("long"))
+
+
+def q_schema_clustered_er(spark, sf_dir):
+    """Batched per-cluster ER (scale path of SchemaClustering.process,
+    ref clustering.py:255-273): cluster-scoped standard blocking (key =
+    cluster_id x token, both sides required), EM cosine > 0.35,
+    per-cluster 2-element connected components -> cross-side pairs."""
+    from pyjedai_spark.schema_clustering import (schema_attribute_clusters,
+                                                 schema_clustered_er)
+
+    d1, d2 = _schema_cluster_frames(spark, sf_dir)
+    clusters = schema_attribute_clusters(d1, d2, on="values", id_col="id",
+                                         id_col2="rid", metric="cosine",
+                                         similarity_threshold=0.35) \
+        .localCheckpoint()  # feeds membership twice + the pair decode
+    docs1 = d1.select(
+        "id",
+        F.concat_ws(" ", F.coalesce("title", F.lit("")), "site",
+                    F.col("nchars").cast("string")).alias("text"))
+    docs2 = d2.select(
+        "rid",
+        F.concat_ws(" ", F.coalesce("headline", F.lit("")), "domain",
+                    F.col("size").cast("string")).alias("text"))
+    # 0.7: sparse-match regime — CCER CC keeps only 2-element
+    # components, so a dense match graph (default 0.35 on this
+    # near-dup-heavy corpus) drops every component; the higher fixture
+    # threshold leaves unambiguous 1-1 matches to cluster
+    return schema_clustered_er(d1, d2, clusters, docs1, docs2,
+                               id_col="id", id_col2="rid",
+                               similarity_threshold=0.7)
+
+
 def _spatial_frames(spark, sf_dir):
     """Deterministic envelope tables derived from customer (source) and
     supplier (target) keys — integer-valued doubles, so every grid/area
@@ -1231,8 +1308,10 @@ def q_meta_cnp_cleaned(spark, sf_dir):
     Standalone CNP on raw webtext blocks is quadratic in the hot-token
     mega-blocks; cleaning first is the scale path."""
     docs = _docs(spark, sf_dir)
-    p = BC.block_filtering(
-        BC.block_purging(BB.standard_blocking(docs), smoothing_factor=1.0), 0.8)
+    # fused purge+filter (clean_blocks): tokenize + cardinality-agg run
+    # once instead of the naive chain's 2x/3x
+    p = BC.clean_blocks(BB.standard_blocking(docs), smoothing_factor=1.0,
+                        ratio=0.8, keep_size=True)
     # stage barrier: CNP references its input 4x; see checkpoint.stage
     p = p.localCheckpoint()
     e = CC.cardinality_node_pruning(p, "JS", num_entities=docs.count())
@@ -1411,6 +1490,8 @@ QUERIES = {
     "streaming_reconciled": q_streaming_reconciled,
     "schema_name_matches": q_schema_name_matches,
     "schema_jaccard_leven": q_schema_jaccard_leven,
+    "schema_clustering": q_schema_clustering,
+    "schema_clustered_er": q_schema_clustered_er,
     "spatial_equigrid_cf": q_spatial_equigrid_cf,
     "spatial_equigrid_js": q_spatial_equigrid_js,
     "spatial_topk_mbr": q_spatial_topk_mbr,
@@ -2396,6 +2477,249 @@ SELECT n1.col1, n2.col2,
        round(coalesce(inter * 1.0 / (n1 + n2 - inter), 0.0), 6) AS score
 FROM n1 CROSS JOIN n2
 LEFT JOIN m ON m.col1 = n1.col1 AND m.col2 = n2.col2"""
+
+    # ---------------- schema clustering (attribute-level ER workflow)
+    # The full reference chain in SQL over the deterministic fixture:
+    # attribute value-documents -> CCER standard blocking -> purging
+    # (CCER n1*n2 cardinalities, smoothing 1.0) -> filtering(0.8, CCER
+    # both-sides validity) -> cross-side pairs -> cosine matching
+    # (lowercase whitespace distinct sets, round 6, > 0.35) -> connected
+    # components keeping ONLY 2-element clusters; unclustered attrs
+    # collapse into the appended -1 cluster.
+    _SC_BASE = """sc_d1 AS MATERIALIZED (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 7 <> 0 THEN substring(text, 1, 40) END AS title,
+         substring(text, 1, 120) AS body,
+         'src' || ((doc_id // 2) % 10) AS site,
+         lang AS lang1,
+         n_chars AS nchars
+  FROM documents WHERE doc_id % 2 = 0),
+sc_d2 AS MATERIALIZED (
+  SELECT doc_id AS rid,
+         CASE WHEN doc_id % 5 <> 0 THEN substring(text, 1, 40) END AS headline,
+         substring(text, 1, 120) AS content,
+         'src' || ((doc_id // 2) % 10) AS domain,
+         lang AS lang2,
+         n_chars AS size
+  FROM documents WHERE doc_id % 2 = 1),
+sc_d1l AS MATERIALIZED (SELECT * FROM sc_d1 ORDER BY id LIMIT 10000),
+sc_d2l AS MATERIALIZED (SELECT * FROM sc_d2 ORDER BY rid LIMIT 10000),
+sc_at AS MATERIALIZED (
+  SELECT 0 AS aid, 'id' AS attr, 1 AS side, coalesce(
+    string_agg(coalesce(CAST(id AS VARCHAR), 'nan'), ' ' ORDER BY id), '')
+    AS text FROM sc_d1l
+  UNION ALL SELECT 1, 'title', 1, coalesce(
+    string_agg(coalesce(title, 'nan'), ' ' ORDER BY id), '') FROM sc_d1l
+  UNION ALL SELECT 2, 'body', 1, coalesce(
+    string_agg(coalesce(body, 'nan'), ' ' ORDER BY id), '') FROM sc_d1l
+  UNION ALL SELECT 3, 'site', 1, coalesce(
+    string_agg(coalesce(site, 'nan'), ' ' ORDER BY id), '') FROM sc_d1l
+  UNION ALL SELECT 4, 'lang1', 1, coalesce(
+    string_agg(coalesce(lang1, 'nan'), ' ' ORDER BY id), '') FROM sc_d1l
+  UNION ALL SELECT 5, 'nchars', 1, coalesce(
+    string_agg(coalesce(CAST(nchars AS VARCHAR), 'nan'), ' ' ORDER BY id), '')
+    FROM sc_d1l
+  UNION ALL SELECT 6, 'rid', 2, coalesce(
+    string_agg(coalesce(CAST(rid AS VARCHAR), 'nan'), ' ' ORDER BY rid), '')
+    FROM sc_d2l
+  UNION ALL SELECT 7, 'headline', 2, coalesce(
+    string_agg(coalesce(headline, 'nan'), ' ' ORDER BY rid), '') FROM sc_d2l
+  UNION ALL SELECT 8, 'content', 2, coalesce(
+    string_agg(coalesce(content, 'nan'), ' ' ORDER BY rid), '') FROM sc_d2l
+  UNION ALL SELECT 9, 'domain', 2, coalesce(
+    string_agg(coalesce(domain, 'nan'), ' ' ORDER BY rid), '') FROM sc_d2l
+  UNION ALL SELECT 10, 'lang2', 2, coalesce(
+    string_agg(coalesce(lang2, 'nan'), ' ' ORDER BY rid), '') FROM sc_d2l
+  UNION ALL SELECT 11, 'size', 2, coalesce(
+    string_agg(coalesce(CAST(size AS VARCHAR), 'nan'), ' ' ORDER BY rid), '')
+    FROM sc_d2l),
+sc_tok AS (
+  SELECT aid, side, unnest(list_distinct(list_filter(
+      regexp_split_to_array(lower(text), '[\\W_]'), x -> x <> ''))) AS key
+  FROM sc_at),
+sc_blk AS (
+  SELECT key, aid, side FROM (
+    SELECT key, aid, side,
+           sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY key) AS n1,
+           sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY key) AS n2
+    FROM sc_tok)
+  WHERE n1 >= 1 AND n2 >= 1),
+sc_cards AS (
+  SELECT key, count(*) AS block_size,
+         (sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+          * sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)) AS cardinality
+  FROM sc_blk GROUP BY key),
+sc_lev AS (
+  SELECT cardinality, sum(block_size) AS bs, sum(cardinality) AS cc
+  FROM sc_cards GROUP BY cardinality),
+sc_cum AS (
+  SELECT cardinality,
+         sum(bs) OVER (ORDER BY cardinality) AS cum_bs,
+         sum(cc) OVER (ORDER BY cardinality) AS cum_cc,
+         row_number() OVER (ORDER BY cardinality) AS rn
+  FROM sc_lev),
+sc_cand AS (
+  SELECT c.rn AS i_rn, p.cardinality AS thr_card
+  FROM sc_cum c JOIN sc_cum p ON p.rn = c.rn + 1
+  WHERE c.rn >= 2 AND c.cum_bs * p.cum_cc < 1.0 * c.cum_cc * p.cum_bs),
+sc_thr AS (
+  SELECT CASE WHEN (SELECT count(*) FROM sc_cum) <= 2 THEN 0
+         ELSE coalesce((SELECT thr_card FROM sc_cand ORDER BY i_rn DESC LIMIT 1),
+                       (SELECT cardinality FROM sc_cum WHERE rn = 3))
+         END AS t),
+sc_pp AS (
+  SELECT b.key, b.aid, b.side FROM sc_blk b
+  JOIN sc_cards c ON c.key = b.key, sc_thr
+  WHERE c.cardinality <= sc_thr.t),
+sc_fc AS (
+  SELECT key, (sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+               * sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)) AS cardinality
+  FROM sc_pp GROUP BY key),
+sc_rk AS (
+  SELECT p.key, p.aid, p.side,
+         row_number() OVER (PARTITION BY p.aid
+                            ORDER BY c.cardinality, p.key) AS rn,
+         count(*) OVER (PARTITION BY p.aid) AS n
+  FROM sc_pp p JOIN sc_fc c ON c.key = p.key),
+sc_fb AS (
+  SELECT key, aid, side FROM (
+    SELECT key, aid, side,
+           sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY key) AS n1,
+           sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY key) AS n2
+    FROM sc_rk WHERE rn <= floor(0.8 * n + 0.5))
+  WHERE n1 >= 1 AND n2 >= 1),
+sc_pairs AS (
+  SELECT DISTINCT a.aid AS id1, b.aid AS id2
+  FROM sc_fb a JOIN sc_fb b
+    ON a.key = b.key AND a.side = 1 AND b.side = 2),
+sc_wt AS (
+  SELECT aid, list_sort(list_distinct(list_filter(
+      regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS t
+  FROM sc_at),
+sc_mt AS (
+  SELECT id1, id2 FROM (
+    SELECT p.id1, p.id2,
+           round(CASE WHEN a.t = b.t THEN 1.0
+                 WHEN len(a.t) = 0 OR len(b.t) = 0 THEN 0.0
+                 ELSE len(list_intersect(a.t, b.t))
+                      / (sqrt(CAST(len(a.t) AS DOUBLE))
+                         * sqrt(CAST(len(b.t) AS DOUBLE)))
+                 END, 6) AS sim
+    FROM sc_pairs p JOIN sc_wt a ON a.aid = p.id1
+                    JOIN sc_wt b ON b.aid = p.id2)
+  WHERE sim > 0.35),
+sc_bidir AS MATERIALIZED (
+  SELECT id1 AS u, id2 AS v FROM sc_mt UNION SELECT id2, id1 FROM sc_mt),
+sc_reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sc_bidir)
+  UNION SELECT r.u, b.v FROM sc_reach r JOIN sc_bidir b ON r.v = b.u),
+sc_cc AS (SELECT u AS aid, min(v) AS cluster_id FROM sc_reach GROUP BY u),
+sc_sz AS (SELECT cluster_id, count(*) AS nn FROM sc_cc GROUP BY cluster_id),
+sc_k AS (
+  SELECT c.aid, c.cluster_id FROM sc_cc c
+  JOIN sc_sz s ON s.cluster_id = c.cluster_id AND s.nn = 2),
+sc_out AS MATERIALIZED (
+  SELECT coalesce(k.cluster_id, -1) AS cluster_id, a.aid, a.attr, a.side
+  FROM sc_at a LEFT JOIN sc_k k ON k.aid = a.aid)"""
+
+    o["schema_clustering"] = f"""WITH RECURSIVE {_SC_BASE}
+SELECT cluster_id, aid, attr, side FROM sc_out"""
+
+    # batched per-cluster ER: qualifying clusters (both sides), row
+    # membership by any-non-null cluster attribute, cluster-scoped
+    # standard blocking, cosine matching > 0.7, per-cluster 2-element
+    # components (bipartite edges -> both endpoint degrees 1).
+    o["schema_clustered_er"] = f"""WITH RECURSIVE {_SC_BASE},
+se_ok AS (
+  SELECT cluster_id FROM sc_out GROUP BY cluster_id
+  HAVING max(CASE WHEN side = 1 THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN side = 2 THEN 1 ELSE 0 END) = 1),
+se_q AS (
+  SELECT c.cluster_id, c.attr, c.side
+  FROM sc_out c JOIN se_ok o ON o.cluster_id = c.cluster_id),
+se_nn1 AS (
+  SELECT id AS eid, 'id' AS attr FROM sc_d1 WHERE id IS NOT NULL
+  UNION ALL SELECT id, 'title' FROM sc_d1 WHERE title IS NOT NULL
+  UNION ALL SELECT id, 'body' FROM sc_d1 WHERE body IS NOT NULL
+  UNION ALL SELECT id, 'site' FROM sc_d1 WHERE site IS NOT NULL
+  UNION ALL SELECT id, 'lang1' FROM sc_d1 WHERE lang1 IS NOT NULL
+  UNION ALL SELECT id, 'nchars' FROM sc_d1 WHERE nchars IS NOT NULL),
+se_nn2 AS (
+  SELECT rid AS eid, 'rid' AS attr FROM sc_d2 WHERE rid IS NOT NULL
+  UNION ALL SELECT rid, 'headline' FROM sc_d2 WHERE headline IS NOT NULL
+  UNION ALL SELECT rid, 'content' FROM sc_d2 WHERE content IS NOT NULL
+  UNION ALL SELECT rid, 'domain' FROM sc_d2 WHERE domain IS NOT NULL
+  UNION ALL SELECT rid, 'lang2' FROM sc_d2 WHERE lang2 IS NOT NULL
+  UNION ALL SELECT rid, 'size' FROM sc_d2 WHERE size IS NOT NULL),
+se_t1 AS (
+  SELECT id AS eid, concat_ws(' ', coalesce(title, ''), site,
+                              CAST(nchars AS VARCHAR)) AS text FROM sc_d1),
+se_t2 AS (
+  SELECT rid AS eid, concat_ws(' ', coalesce(headline, ''), domain,
+                               CAST(size AS VARCHAR)) AS text FROM sc_d2),
+se_md1 AS (
+  SELECT DISTINCT q.cluster_id, n.eid, t.text
+  FROM se_nn1 n JOIN se_q q ON q.side = 1 AND q.attr = n.attr
+  JOIN se_t1 t ON t.eid = n.eid),
+se_md2 AS (
+  SELECT DISTINCT q.cluster_id, n.eid, t.text
+  FROM se_nn2 n JOIN se_q q ON q.side = 2 AND q.attr = n.attr
+  JOIN se_t2 t ON t.eid = n.eid),
+se_tok AS (
+  SELECT cluster_id, eid, 1 AS side, unnest(list_distinct(list_filter(
+      regexp_split_to_array(lower(text), '[\\W_]'), x -> x <> ''))) AS tok
+  FROM se_md1
+  UNION ALL
+  SELECT cluster_id, eid, 2, unnest(list_distinct(list_filter(
+      regexp_split_to_array(lower(text), '[\\W_]'), x -> x <> '')))
+  FROM se_md2),
+se_blk AS (
+  SELECT cluster_id, tok, eid, side FROM (
+    SELECT cluster_id, tok, eid, side,
+           sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY cluster_id, tok) AS n1,
+           sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY cluster_id, tok) AS n2
+    FROM se_tok)
+  WHERE n1 >= 1 AND n2 >= 1),
+se_pairs AS (
+  SELECT DISTINCT a.cluster_id, a.eid AS id1, b.eid AS id2
+  FROM se_blk a JOIN se_blk b
+    ON a.cluster_id = b.cluster_id AND a.tok = b.tok
+   AND a.side = 1 AND b.side = 2),
+se_wt1 AS (
+  SELECT cluster_id, eid, list_sort(list_distinct(list_filter(
+      regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS t
+  FROM se_md1),
+se_wt2 AS (
+  SELECT cluster_id, eid, list_sort(list_distinct(list_filter(
+      regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS t
+  FROM se_md2),
+se_mt AS (
+  SELECT cluster_id, id1, id2 FROM (
+    SELECT p.cluster_id, p.id1, p.id2,
+           round(CASE WHEN a.t = b.t THEN 1.0
+                 WHEN len(a.t) = 0 OR len(b.t) = 0 THEN 0.0
+                 ELSE len(list_intersect(a.t, b.t))
+                      / (sqrt(CAST(len(a.t) AS DOUBLE))
+                         * sqrt(CAST(len(b.t) AS DOUBLE)))
+                 END, 6) AS sim
+    FROM se_pairs p
+    JOIN se_wt1 a ON a.cluster_id = p.cluster_id AND a.eid = p.id1
+    JOIN se_wt2 b ON b.cluster_id = p.cluster_id AND b.eid = p.id2)
+  WHERE sim > 0.7),
+se_deg AS (
+  SELECT cluster_id, node, count(*) AS d FROM (
+    SELECT cluster_id, id1 AS node FROM se_mt
+    UNION ALL SELECT cluster_id, id2 FROM se_mt)
+  GROUP BY 1, 2)
+SELECT DISTINCT m.cluster_id, m.id1, m.id2 FROM se_mt m
+JOIN se_deg da ON da.cluster_id = m.cluster_id AND da.node = m.id1 AND da.d = 1
+JOIN se_deg db ON db.cluster_id = m.cluster_id AND db.node = m.id2 AND db.d = 1"""
 
     # repetition stats: one units stream (lines / paragraphs / word
     # n-grams), per-unit counts, per-kind aggregates, conditional-agg
