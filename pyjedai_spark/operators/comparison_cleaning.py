@@ -41,12 +41,29 @@ SN_SCHEMES = {"SN-CBS", "SNC", "SND", "SNJ"}
 NEEDS_CMP = {"EJS", "CNC", "SNC", "SND", "CND", "CNJ", "SNJ"}
 
 
+# blocks larger than this enumerate their pairs through the salted
+# (chunked) self-join: a bs^2 expansion inside ONE key otherwise lands
+# in ONE task (AQE skew-split can't fire — the INPUT partition is tiny,
+# the blowup is at join output), serializing the whole stage behind the
+# biggest block. 1024^2/2 pairs ≈ the work of ~500 average blocks — a
+# balanced cutoff at any scale.
+SALT_BS_THRESHOLD = 1024
+SALT_CHUNKS = 32
+
+
 def edge_weights(postings: DataFrame, scheme: str = "CBS",
-                 dirty: bool = True) -> DataFrame:
+                 dirty: bool = True,
+                 salt_threshold: int | None = SALT_BS_THRESHOLD,
+                 salt_chunks: int = SALT_CHUNKS) -> DataFrame:
     """Blocking-graph edges (id1 < id2, weight) for a weighting scheme.
 
     One shuffle for the self-join on key, one for the groupBy(id1,id2);
     per-entity stats are small dims joined afterwards (broadcastable).
+    Mega-blocks (size >= ``salt_threshold``) enumerate through a
+    chunk-salted join — the right side hashed into ``salt_chunks``
+    buckets, the left side replicated per bucket — so one hot key's
+    quadratic expansion spreads over ``salt_chunks`` tasks instead of
+    one. Output-identical; ``salt_threshold=None`` disables.
     """
     if not dirty:
         # CCER variant: postings carry a ``side`` column; the pair space
@@ -56,20 +73,61 @@ def edge_weights(postings: DataFrame, scheme: str = "CBS",
         return ccer_edge_weights(postings, scheme)
     scheme = scheme.upper()
 
-    if "bs" in postings.columns:
+    # only CN schemes aggregate per-block card and only SN schemes
+    # per-block bs ACROSS the pair enumeration; for everything else
+    # (CBS/JS/ECBS/X2/EJS) the per-pair stream is just (id1, id2) —
+    # pruning the two numeric columns halves the width of the
+    # enumeration shuffle, the single biggest byte-mover in
+    # meta-blocking (the edge stream is |pairs|-sized, everything else
+    # entity-sized)
+    need_block_cols = scheme in CN_SCHEMES or scheme in SN_SCHEMES
+    need_bs = need_block_cols or salt_threshold is not None
+    if not need_bs:
+        p = postings
+    elif "bs" in postings.columns:
         # block sizes precomputed upstream (clean_blocks(keep_size=True)
         # retains the rebuilt size) — skip the groupBy + per-key join,
         # one full exchange of the postings saved
-        p = postings.withColumn(
-            "card", F.col("bs") * (F.col("bs") - 1) / 2)
+        p = postings
     else:
-        sizes = postings.groupBy("key").agg(F.count("*").alias("bs")).withColumn(
-            "card", F.col("bs") * (F.col("bs") - 1) / 2
-        )
-        p = postings.join(sizes, "key")
-    a = p.select("key", F.col("eid").alias("id1"), "bs", "card")
-    b = p.select("key", F.col("eid").alias("id2"))
-    pairs = a.join(b, "key").where(F.col("id1") < F.col("id2"))
+        sizes = postings.groupBy("key").agg(F.count("*").alias("bs"))
+        p = postings.join(sizes, "key")  # sizes is block-count-sized ->
+        # AQE broadcasts the build side; no postings exchange
+    # only CN schemes aggregate per-block card and only SN schemes
+    # per-block bs ACROSS the pair enumeration; for everything else
+    # (CBS/JS/ECBS/X2/EJS) the per-pair stream is just (id1, id2) —
+    # pruning the numeric columns halves the width of the enumeration
+    # shuffle, the single biggest byte-mover in meta-blocking (the edge
+    # stream is |pairs|-sized, everything else entity-sized)
+    if need_block_cols:
+        p = p.withColumn("card", F.col("bs") * (F.col("bs") - 1) / 2)
+        block_cols = ["bs", "card"]
+    else:
+        block_cols = []
+
+    def enumerate_pairs(src):
+        a = src.select("key", F.col("eid").alias("id1"), *block_cols)
+        b = src.select("key", F.col("eid").alias("id2"))
+        return a.join(b, "key").where(F.col("id1") < F.col("id2"))
+
+    def enumerate_pairs_salted(src):
+        a = src.select(
+            "key", F.col("eid").alias("id1"), *block_cols
+        ).withColumn("_cb", F.explode(F.sequence(
+            F.lit(0), F.lit(salt_chunks - 1))))
+        b = src.select(
+            "key", F.col("eid").alias("id2"),
+            F.pmod(F.xxhash64("eid"), F.lit(salt_chunks)).alias("_cb"))
+        return (a.join(b, ["key", "_cb"])
+                .where(F.col("id1") < F.col("id2"))
+                .drop("_cb"))
+
+    if salt_threshold is None:
+        pairs = enumerate_pairs(p)
+    else:
+        pairs = enumerate_pairs(p.where(F.col("bs") < salt_threshold)) \
+            .unionByName(enumerate_pairs_salted(
+                p.where(F.col("bs") >= salt_threshold)))
 
     # counter accumulation, incl. the CN/SN dangling-else quirk
     # (comparison_cleaning.py:376-385)

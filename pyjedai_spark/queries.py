@@ -3818,31 +3818,30 @@ ORACLES = _build_oracles()
 # driver never saw, so every query accumulates a driver CORRECTNESS row
 # across rounds; long-green unchanged queries move to the tail.
 _DRIVER_PRIORITY = [
-    # never driver-checked through r01-r02 (the driver caps at 50
-    # queries/round; these 24 are local-gate green but need the hard
-    # signal — VERDICT r02 "What's missing")
-    "best_match_clustering", "boolean_cosine", "ccer_ccc", "ccer_em_cosine",
-    "ccer_pairs_cp", "ccer_wep_js", "center_clustering", "clean_text",
-    "correlation_clustering", "cut_clustering", "ejoin_dice_multiset",
-    "ejoin_jaccard_qgrams", "em_jaro", "em_levenshtein", "embeddings_nn_bpm",
-    "kiraly_clustering", "lsh_recall_eval", "media_features",
-    "merge_center_clustering", "ricochet_clustering", "tf_cosine",
-    "tfidf_cosine", "topk_join_pm", "video_frame_sample",
-    # implementation or oracle changed in round 3 (codegen-safe banded
-    # LSH, de-skewed exact dedup, null-safe url dedup + quality gate,
-    # single-agg entropy, prefix-histogram sampling, UTC session tz)
-    "ann_topk", "ann_lsh_topk", "embedding_dedup", "ann_topk_from_text",
-    "exact_dedup", "url_dedup", "gopher_quality", "corpus_clean",
-    "sb_block_stats", "source_quota", "events_windowed",
-    "minhash_lsh_pairs", "minhash_near_dup", "minhash_lsh_pairs_salted",
-    # round-3 additions
-    "streaming_reconciled", "schema_name_matches", "schema_jaccard_leven",
-    "spatial_equigrid_cf", "spatial_equigrid_js", "spatial_topk_mbr",
-    # rotate in r01-only greens for a second driver confirmation
-    "der_dedup_clusters", "simhash_pairs", "substring_dedup",
-    "duplicate_spans", "line_dedup", "pii_counts",
-    "gpsn_acf", "meta_cnp_cleaned", "ejoin_cosine", "ann_ivf_topk",
-    "webtext_minhash_clusters",
+    # new or behavior-touched in round 4: schema clustering, the DE-9IM
+    # relation layer, the fused clean_blocks path (meta_cnp/cnp/flagship
+    # /corpus chains), the media_features hashable projection, the
+    # sb_block_stats empty-input oracle fix, null-text streaming
+    # fingerprints
+    "schema_clustering", "schema_clustered_er",
+    "spatial_relations", "spatial_relation_stats",
+    "media_features", "meta_cnp_cleaned", "cnp_js", "der_dedup_clusters",
+    "corpus_clean", "streaming_reconciled", "gopher_quality",
+    "sb_block_stats",
+    # last green driver row is r01 (VERDICT r03 item 7: every
+    # oracle-backed query should have a row within the last two rounds)
+    "blast_cosine", "block_filtering", "block_purging", "cep_js",
+    "comparison_propagation", "doc_fingerprint", "entity_matching_cosine",
+    "ext_qgrams_blocking", "ext_suffix_blocking", "lang_id",
+    "minhash_bands", "ngram_jaccard", "qgrams_blocking", "quality_score",
+    "rcnp_js", "rwnp_js", "sb_blocks", "simhash_signatures",
+    "suffix_blocking", "token_count", "wep_cbs", "wep_ecbs", "wep_ejs",
+    "wep_js", "wep_x2", "wnp_cbs",
+    # r02-stale fillers up to the driver's 50-query cap
+    "ejoin_cosine", "ann_ivf_topk", "webtext_minhash_clusters",
+    "ccer_best_chain", "markov_clustering", "unique_mapping", "topk_join",
+    "pe_topk_join", "progressive_recall", "repetition_stats",
+    "gpsn_acf", "audio_decode",
 ]
 
 QUERIES = {

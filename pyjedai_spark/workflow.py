@@ -77,6 +77,7 @@ class BlockingBasedWorkFlow:
     checkpoint_dir: str | None = None
 
     steps: list = field(default_factory=list, init=False)
+    total_comparisons: int | None = field(default=None, init=False)
 
     @classmethod
     def best_der(cls) -> "BlockingBasedWorkFlow":
@@ -142,6 +143,12 @@ class BlockingBasedWorkFlow:
         self.steps = []
         is_ccer = d2 is not None
         all_docs = docs.unionByName(d2) if is_ccer else docs
+        if gt is not None:
+            # comparison-space size for workflow_report's tn column
+            # (ref evaluation.py:173-176: n1*n2 CCER, n(n-1)/2 dirty)
+            n1 = docs.count()
+            self.total_comparisons = (
+                n1 * d2.count() if is_ccer else n1 * (n1 - 1) // 2)
 
         def stage_pairs(p):
             return X.ccer_pairs(p) if is_ccer else BB.block_pairs(p)
@@ -247,6 +254,29 @@ class BlockingBasedWorkFlow:
         import pandas as pd
 
         return pd.DataFrame(self.steps)
+
+    def workflow_report(self):
+        """The union of everything the reference's visualization module
+        plots, as one pandas DataFrame — the numbers, not the plots
+        (ref visualization.py:9-31 confusion-matrix heatmap over
+        evaluation.py:180-200's tp/fp/fn/tn; workflow.to_df's per-stage
+        wall/F1 bars): one row per executed stage with wall seconds,
+        surviving rows, and — when ``run(gt=...)`` was given ground
+        truth — precision/recall/f1 plus the full confusion counts
+        (``tn`` = comparison-space size minus tp+fp+fn). Feed this to
+        any plotting library; the engine deliberately ships no plots
+        (documented cut, VERDICT r01-r03)."""
+        import pandas as pd
+
+        if not self.steps:
+            raise ValueError("run() the workflow before reporting")
+        df = pd.DataFrame(self.steps)
+        if self.total_comparisons is not None and "tp" in df.columns:
+            df["tn"] = (self.total_comparisons
+                        - df["tp"] - df["fp"] - df["fn"]).astype("Int64")
+        df.insert(0, "workflow", self.name)
+        df["cum_wall_s"] = df["wall_s"].cumsum().round(3)
+        return df
 
 
 @dataclass

@@ -239,3 +239,21 @@ def test_edge_weights_precomputed_bs_equals_recomputed(spark, docs):
     without = {(r["id1"], r["id2"]): (r["weight"], r["cbs"])
                for r in CC.edge_weights(fused.drop("bs"), "JS").collect()}
     assert with_bs == without
+
+
+def test_edge_weights_salted_equals_plain(spark, docs):
+    """Chunk-salted mega-block enumeration is output-identical to the
+    plain self-join for every scheme family (counter aggregation order
+    must not matter), at a threshold low enough that real blocks split."""
+    from pyjedai_spark.operators import block_building as BB
+    from pyjedai_spark.operators import comparison_cleaning as CC
+
+    p = BB.standard_blocking(docs.limit(200)).localCheckpoint()
+    for scheme in ["JS", "CN-CBS", "SN-CBS", "ECBS"]:
+        plain = {(r["id1"], r["id2"]): (round(r["weight"], 9), r["cbs"])
+                 for r in CC.edge_weights(p, scheme,
+                                          salt_threshold=None).collect()}
+        salted = {(r["id1"], r["id2"]): (round(r["weight"], 9), r["cbs"])
+                  for r in CC.edge_weights(p, scheme, salt_threshold=4,
+                                           salt_chunks=5).collect()}
+        assert plain == salted, scheme

@@ -111,3 +111,29 @@ def test_read_data_from_json(spark, tmp_path):
     wf = BlockingBasedWorkFlow.best_ccer()
     out = wf.run(data["d1"], id_col="eid", text_col="text", d2=data["d2"])
     assert {"id1", "id2", "weight"} <= set(out.columns)
+
+
+def test_workflow_report_confusion_and_cumulative_time(spark):
+    """workflow_report: one row per stage with the confusion counts the
+    reference's visualization module plots (tn from the comparison-space
+    size) and cumulative wall time."""
+    import pytest
+
+    docs, gt = webtext_df(spark, n_docs=150, seed=19)
+    wf = BlockingBasedWorkFlow.best_der()
+    with pytest.raises(ValueError):
+        wf.workflow_report()  # before run()
+    wf.run(docs, id_col="eid", gt=gt)
+    rep = wf.workflow_report()
+    assert list(rep["stage"]) == [
+        "standard_blocking", "block_purging", "block_filtering",
+        "CNP", "entity_matching", "connected_components"]
+    assert (rep["workflow"] == "best-der-workflow").all()
+    n = docs.count()
+    total = n * (n - 1) // 2
+    assert wf.total_comparisons == total
+    # confusion identity holds on every stage row
+    assert ((rep["tp"] + rep["fp"] + rep["fn"] + rep["tn"]) == total).all()
+    # cumulative wall is monotone and ends at the sum
+    assert (rep["cum_wall_s"].diff().fillna(0) >= 0).all()
+    assert abs(rep["cum_wall_s"].iloc[-1] - rep["wall_s"].sum()) < 0.01
