@@ -1407,6 +1407,43 @@ def q_lsh_recall_eval(spark, sf_dir):
         "tp long, fp long, fn long, prec double, recall double, f1 double")
 
 
+def q_workflow_report(spark, sf_dir):
+    """Driver-checkable surface for ``workflow_report()`` — the
+    visualization-replacement metrics export (ref visualization.py:9-31
+    confusion-heatmap numbers + workflow to_df bars): the reference
+    best-DER workflow (ref workflow.py:718-735) runs end-to-end against
+    a SQL-replicable ground truth (exact 3-shingle Jaccard >= 0.5 via
+    the token-join pattern, no pair loop) and one row per stage carries
+    the surviving-row + confusion counts the reference plots. The
+    report's wall-clock columns are non-deterministic and dropped here;
+    precision/recall/f1 are recomputed from the integer confusion
+    counts with Spark round() so the DuckDB oracle is bit-exact."""
+    from .workflow import BlockingBasedWorkFlow
+
+    docs = _docs(spark, sf_dir)
+    gt = (DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+          .select("id1", "id2").localCheckpoint())
+    wf = BlockingBasedWorkFlow.best_der()
+    wf.run(docs, gt=gt)
+    rows = [(wf.name, i + 1, s["stage"], int(s["rows"]), int(s["tp"]),
+             int(s["fp"]), int(s["fn"])) for i, s in enumerate(wf.steps)]
+    out = spark.createDataFrame(
+        rows, "workflow string, stage_idx long, stage string, n_rows long, "
+              "tp long, fp long, fn long")
+    out = out.withColumn(
+        "tn", (F.lit(int(wf.total_comparisons)) - F.col("tp") - F.col("fp")
+               - F.col("fn")).cast("long"))
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0))
+    f1 = F.when(F.col("tp") > 0,
+                2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+    return (out.withColumn("precision", F.round(prec, 6))
+               .withColumn("recall", F.round(rec, 6))
+               .withColumn("f1", F.round(f1, 6)))
+
+
 def q_ejoin_dice_multiset(spark, sf_dir):
     return J.ejoin(_docs(spark, sf_dir), similarity_threshold=0.8,
                    metric="dice", tokenization="standard_multiset",
@@ -1536,6 +1573,7 @@ QUERIES = {
     "boolean_cosine": q_boolean_cosine,
     "clean_text": q_clean_text,
     "lsh_recall_eval": q_lsh_recall_eval,
+    "workflow_report": q_workflow_report,
     "ejoin_dice_multiset": q_ejoin_dice_multiset,
     "ejoin_jaccard_qgrams": q_ejoin_jaccard_qgrams,
     "center_clustering": q_center_clustering,
@@ -1739,6 +1777,98 @@ SELECT id1, id2, sim FROM mt"""
 {_matching_cosine_sql('cnp', 0.55, 'mt')},
 {_cc_sql('mt')}
 SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u"""
+
+    # workflow_report: the best-DER chain's per-stage pair sets scored
+    # against the exact 3-shingle-jaccard GT (same GT fragment as
+    # lsh_recall_eval); tn = n(n-1)/2 - tp - fp - fn. Every stage is
+    # snapshotted AS MATERIALIZED: each one feeds both the next stage
+    # and several stats subqueries, and the recursive CC term would
+    # otherwise re-expand the whole chain to parquet scans per
+    # iteration (same fix as the schema_clustering oracles).
+    o["workflow_report"] = f"""WITH RECURSIVE {SB},
+m_sb AS MATERIALIZED (SELECT * FROM sb),
+{_purging_sql('m_sb', 1.0, 'pp')},
+m_pp AS MATERIALIZED (SELECT * FROM pp),
+{_filtering_sql('m_pp', 0.8, 'bf', 'bfc')},
+m_bf AS MATERIALIZED (SELECT * FROM bf),
+{_cnp_sql('m_bf', 'cnp', 'JS')},
+m_cnp AS MATERIALIZED (SELECT * FROM cnp),
+{_matching_cosine_sql('m_cnp', 0.55, 'mt')},
+m_mt AS MATERIALIZED (SELECT * FROM mt),
+{_tokhash_sql(3)},
+m_hx AS MATERIALIZED (SELECT * FROM hx),
+ex3 AS (SELECT eid, unnest(sl) AS g FROM m_hx),
+common3 AS (
+  SELECT a.eid AS id1, b.eid AS id2, count(*) AS c
+  FROM ex3 a JOIN ex3 b ON a.g = b.g AND a.eid < b.eid
+  GROUP BY 1, 2),
+gt AS MATERIALIZED (
+  SELECT id1, id2 FROM (
+    SELECT c.id1, c.id2,
+           round(c.c * 1.0 / (len(x.sl) + len(y.sl) - c.c), 6) AS jaccard
+    FROM common3 c JOIN m_hx x ON x.eid = c.id1 JOIN m_hx y ON y.eid = c.id2)
+  WHERE jaccard >= 0.5),
+sbp AS MATERIALIZED (SELECT DISTINCT a.eid AS id1, b.eid AS id2
+        FROM m_sb a JOIN m_sb b ON a.key = b.key AND a.eid < b.eid),
+ppp AS MATERIALIZED (SELECT DISTINCT a.eid AS id1, b.eid AS id2
+        FROM m_pp a JOIN m_pp b ON a.key = b.key AND a.eid < b.eid),
+bfp AS MATERIALIZED (SELECT DISTINCT a.eid AS id1, b.eid AS id2
+        FROM m_bf a JOIN m_bf b ON a.key = b.key AND a.eid < b.eid),
+wr_bidir AS MATERIALIZED (
+  SELECT id1 AS u, id2 AS v FROM m_mt UNION SELECT id2, id1 FROM m_mt),
+wr_reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, b.v FROM wr_reach r JOIN wr_bidir b ON r.v = b.u),
+wr_clusters AS MATERIALIZED (
+  SELECT u AS eid, min(v) AS cid FROM wr_reach GROUP BY u),
+clp AS MATERIALIZED (SELECT a.eid AS id1, b.eid AS id2
+        FROM wr_clusters a JOIN wr_clusters b
+        ON a.cid = b.cid AND a.eid < b.eid),
+stats AS (
+  SELECT CAST(1 AS BIGINT) AS stage_idx, 'standard_blocking' AS stage,
+         (SELECT count(*) FROM m_sb) AS n_rows,
+         (SELECT count(*) FROM sbp) AS np,
+         (SELECT count(*) FROM gt) AS ng,
+         (SELECT count(*) FROM sbp p JOIN gt g
+          ON g.id1 = p.id1 AND g.id2 = p.id2) AS tp
+  UNION ALL SELECT 2, 'block_purging',
+         (SELECT count(*) FROM m_pp), (SELECT count(*) FROM ppp),
+         (SELECT count(*) FROM gt),
+         (SELECT count(*) FROM ppp p JOIN gt g
+          ON g.id1 = p.id1 AND g.id2 = p.id2)
+  UNION ALL SELECT 3, 'block_filtering',
+         (SELECT count(*) FROM m_bf), (SELECT count(*) FROM bfp),
+         (SELECT count(*) FROM gt),
+         (SELECT count(*) FROM bfp p JOIN gt g
+          ON g.id1 = p.id1 AND g.id2 = p.id2)
+  UNION ALL SELECT 4, 'CNP',
+         (SELECT count(*) FROM m_cnp), (SELECT count(*) FROM m_cnp),
+         (SELECT count(*) FROM gt),
+         (SELECT count(*) FROM m_cnp p JOIN gt g
+          ON g.id1 = p.id1 AND g.id2 = p.id2)
+  UNION ALL SELECT 5, 'entity_matching',
+         (SELECT count(*) FROM m_mt), (SELECT count(*) FROM m_mt),
+         (SELECT count(*) FROM gt),
+         (SELECT count(*) FROM m_mt p JOIN gt g
+          ON g.id1 = p.id1 AND g.id2 = p.id2)
+  UNION ALL SELECT 6, 'connected_components',
+         (SELECT count(*) FROM wr_clusters), (SELECT count(*) FROM clp),
+         (SELECT count(*) FROM gt),
+         (SELECT count(*) FROM clp p JOIN gt g
+          ON g.id1 = p.id1 AND g.id2 = p.id2)),
+tot AS (SELECT CAST(count(*) AS BIGINT) * (count(*) - 1) // 2 AS t
+        FROM documents)
+SELECT 'best-der-workflow' AS workflow, stage_idx, stage, n_rows, tp,
+       np - tp AS fp, ng - tp AS fn,
+       CAST(tot.t - np - ng + tp AS BIGINT) AS tn,
+       round(CASE WHEN np > 0 THEN tp * 1.0 / np ELSE 0.0 END, 6)
+           AS "precision",
+       round(CASE WHEN ng > 0 THEN tp * 1.0 / ng ELSE 0.0 END, 6) AS recall,
+       round(CASE WHEN tp > 0 THEN
+             2 * (tp * 1.0 / np) * (tp * 1.0 / ng)
+             / (tp * 1.0 / np + tp * 1.0 / ng) ELSE 0.0 END, 6) AS f1
+FROM stats, tot"""
 
     o["exact_dedup"] = """WITH h AS (
   SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
@@ -3823,7 +3953,7 @@ _DRIVER_PRIORITY = [
     # /corpus chains), the media_features hashable projection, the
     # sb_block_stats empty-input oracle fix, null-text streaming
     # fingerprints
-    "schema_clustering", "schema_clustered_er",
+    "workflow_report", "schema_clustering", "schema_clustered_er",
     "spatial_relations", "spatial_relation_stats",
     "media_features", "meta_cnp_cleaned", "cnp_js", "der_dedup_clusters",
     "corpus_clean", "streaming_reconciled", "gopher_quality",
