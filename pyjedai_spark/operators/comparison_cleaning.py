@@ -105,15 +105,26 @@ def edge_weights(postings: DataFrame, scheme: str = "CBS",
     else:
         block_cols = []
 
+    # AQE usually turns these joins into broadcast-hash joins (the
+    # build side is postings-sized), which makes the join OUTPUT
+    # parallelism equal the stream side's INPUT partition count — and a
+    # checkpointed/coalesced postings table arrives in 1-2 partitions,
+    # serializing the quadratic pair expansion into 1-2 tasks (measured
+    # 4-7s single-task stages at sf0.1). Re-spreading the tiny
+    # entity-level stream side first costs one exchange of |postings|
+    # rows and restores full fan-out however the join executes.
+    n_out = int(postings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
     def enumerate_pairs(src):
-        a = src.select("key", F.col("eid").alias("id1"), *block_cols)
+        a = src.select("key", F.col("eid").alias("id1"), *block_cols) \
+            .repartition(n_out, "key", "id1")
         b = src.select("key", F.col("eid").alias("id2"))
         return a.join(b, "key").where(F.col("id1") < F.col("id2"))
 
     def enumerate_pairs_salted(src):
         a = src.select(
             "key", F.col("eid").alias("id1"), *block_cols
-        ).withColumn("_cb", F.explode(F.sequence(
+        ).repartition(n_out).withColumn("_cb", F.explode(F.sequence(
             F.lit(0), F.lit(salt_chunks - 1))))
         b = src.select(
             "key", F.col("eid").alias("id2"),
