@@ -741,6 +741,99 @@ def q_schema_clustered_er(spark, sf_dir):
                                similarity_threshold=0.7)
 
 
+def _rdf_frames(spark, sf_dir, max_doc: int = 120):
+    """Deterministic RDF triple fixture: the schema-clustering frames
+    melted to (subject, predicate, object, tid). Predicates are
+    disjoint between sides EXCEPT ``p_lang``, shared on purpose to pin
+    the reference's merged-predicate semantics (one predicate document
+    accumulating d1's objects before d2's, in_d1 = in_d2 = 1). Null
+    titles/headlines drop their triple (the reference's ``' ' + object``
+    would TypeError on NaN). ``max_doc`` caps the corpus so the
+    subject-ER oracle's sequential-UMC recursion stays tractable."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < max_doc)
+    s = F.concat(F.lit("s"), F.col("doc_id"))
+
+    def melt(side_docs, specs, off):
+        outs = []
+        for i, (pred, obj, cond) in enumerate(specs):
+            t = side_docs.select(
+                s.alias("subject"), F.lit(pred).alias("predicate"),
+                obj.cast("string").alias("object"),
+                (F.col("doc_id") * len(specs) + i + off).alias("tid"))
+            outs.append(t.where(cond) if cond is not None else t)
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    t1 = melt(even, [
+        ("p_title", F.substring("text", 1, 40), F.col("doc_id") % 7 != 0),
+        ("p_body", F.substring("text", 1, 120), None),
+        ("p_site", F.concat(F.lit("src"),
+                            (F.floor(F.col("doc_id") / 2) % 10)), None),
+        ("p_lang", F.col("lang"), None),
+        ("p_nchars", F.col("n_chars"), None),
+    ], 0)
+    t2 = melt(odd, [
+        ("q_headline", F.substring("text", 1, 40), F.col("doc_id") % 5 != 0),
+        ("q_content", F.substring("text", 1, 120), None),
+        ("q_domain", F.concat(F.lit("src"),
+                              (F.floor(F.col("doc_id") / 2) % 10)), None),
+        ("p_lang", F.col("lang"), None),
+        ("q_size", F.col("n_chars"), None),
+    ], 0)
+    return t1, t2
+
+
+def q_rdf_predicate_docs(spark, sf_dir):
+    """Per-predicate documents (ref RDFSchemaClustering.process,
+    schema/clustering.py:388-418): objects concatenated d1-then-d2 in
+    row order, insertion-order aid, per-side membership flags."""
+    from pyjedai_spark.schema_clustering import rdf_predicate_entities
+
+    t1, t2 = _rdf_frames(spark, sf_dir)
+    return rdf_predicate_entities(t1, t2).select(
+        "aid", "predicate", "text",
+        F.col("in_d1").cast("long").alias("in_d1"),
+        F.col("in_d2").cast("long").alias("in_d2"))
+
+
+def q_rdf_predicate_clusters(spark, sf_dir):
+    """Predicate clustering via the reference's default dirty-ER
+    workflow (pyjedai_workflow_for_er_on_predicates, schema/clustering
+    .py:625-640): SB -> purge(1.0) -> filter(0.8) -> WNP(CBS) -> EM
+    cosine > 0 -> connected components + the appended redundant
+    cluster (-1)."""
+    from pyjedai_spark.schema_clustering import (rdf_predicate_clusters,
+                                                 rdf_predicate_entities)
+
+    t1, t2 = _rdf_frames(spark, sf_dir)
+    preds = rdf_predicate_entities(t1, t2)
+    return rdf_predicate_clusters(preds).select(
+        "cluster_id", "aid", "predicate",
+        F.col("in_d1").cast("long").alias("in_d1"),
+        F.col("in_d2").cast("long").alias("in_d2"))
+
+
+def q_rdf_subject_er(spark, sf_dir):
+    """Batched per-cluster subject resolution (ref RDFSchemaClustering
+    .process main loop + pyjedai_workflow_for_er_on_subjects,
+    schema/clustering.py:406-624): subject documents per qualifying
+    predicate cluster -> cluster-scoped SB -> BlockFiltering(0.2) ->
+    WNP(CBS) -> tfidf char-3gram cosine > 0 -> distributed greedy 1-1
+    matching (> 0.1) -> cross-side subject pairs."""
+    from pyjedai_spark.schema_clustering import (rdf_predicate_clusters,
+                                                 rdf_predicate_entities,
+                                                 rdf_subject_er)
+
+    t1, t2 = _rdf_frames(spark, sf_dir)
+    preds = rdf_predicate_entities(t1, t2)
+    clusters = rdf_predicate_clusters(preds).localCheckpoint()
+    return rdf_subject_er(t1, t2, clusters)
+
+
 def _spatial_frames(spark, sf_dir):
     """Deterministic envelope tables derived from customer (source) and
     supplier (target) keys — integer-valued doubles, so every grid/area
@@ -1529,6 +1622,9 @@ QUERIES = {
     "schema_jaccard_leven": q_schema_jaccard_leven,
     "schema_clustering": q_schema_clustering,
     "schema_clustered_er": q_schema_clustered_er,
+    "rdf_predicate_docs": q_rdf_predicate_docs,
+    "rdf_predicate_clusters": q_rdf_predicate_clusters,
+    "rdf_subject_er": q_rdf_subject_er,
     "spatial_equigrid_cf": q_spatial_equigrid_cf,
     "spatial_equigrid_js": q_spatial_equigrid_js,
     "spatial_topk_mbr": q_spatial_topk_mbr,
@@ -2851,6 +2947,286 @@ SELECT DISTINCT m.cluster_id, m.id1, m.id2 FROM se_mt m
 JOIN se_deg da ON da.cluster_id = m.cluster_id AND da.node = m.id1 AND da.d = 1
 JOIN se_deg db ON db.cluster_id = m.cluster_id AND db.node = m.id2 AND db.d = 1"""
 
+    # RDF schema clustering (ref schema/clustering.py:278-640): shared
+    # CTE base = triple fixture -> predicate documents -> dirty chain
+    # (SB -> purge 1.0 -> filter 0.8 -> WNP CBS -> EM cosine > 0 -> CC)
+    # -> clusters incl. the appended redundant (-1). _ORD mirrors
+    # schema_clustering._ORD (first-appearance key = side*2^40 + tid).
+    _RDF_ORD = 1 << 40
+    _RDF_BASE = f"""rdf_b AS (
+  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id < 120),
+rdf_t1 AS MATERIALIZED (
+  SELECT 's' || CAST(doc_id AS VARCHAR) AS subject, 'p_title' AS predicate,
+         substr(text, 1, 40) AS object, doc_id * 5 + 0 AS tid
+  FROM rdf_b WHERE doc_id % 2 = 0 AND doc_id % 7 <> 0
+  UNION ALL SELECT 's' || CAST(doc_id AS VARCHAR), 'p_body',
+         substr(text, 1, 120), doc_id * 5 + 1 FROM rdf_b WHERE doc_id % 2 = 0
+  UNION ALL SELECT 's' || CAST(doc_id AS VARCHAR), 'p_site',
+         'src' || CAST((doc_id // 2) % 10 AS VARCHAR), doc_id * 5 + 2
+  FROM rdf_b WHERE doc_id % 2 = 0
+  UNION ALL SELECT 's' || CAST(doc_id AS VARCHAR), 'p_lang', lang,
+         doc_id * 5 + 3 FROM rdf_b WHERE doc_id % 2 = 0
+  UNION ALL SELECT 's' || CAST(doc_id AS VARCHAR), 'p_nchars',
+         CAST(n_chars AS VARCHAR), doc_id * 5 + 4
+  FROM rdf_b WHERE doc_id % 2 = 0),
+rdf_t2 AS MATERIALIZED (
+  SELECT 's' || CAST(doc_id AS VARCHAR) AS subject, 'q_headline' AS predicate,
+         substr(text, 1, 40) AS object, doc_id * 5 + 0 AS tid
+  FROM rdf_b WHERE doc_id % 2 = 1 AND doc_id % 5 <> 0
+  UNION ALL SELECT 's' || CAST(doc_id AS VARCHAR), 'q_content',
+         substr(text, 1, 120), doc_id * 5 + 1 FROM rdf_b WHERE doc_id % 2 = 1
+  UNION ALL SELECT 's' || CAST(doc_id AS VARCHAR), 'q_domain',
+         'src' || CAST((doc_id // 2) % 10 AS VARCHAR), doc_id * 5 + 2
+  FROM rdf_b WHERE doc_id % 2 = 1
+  UNION ALL SELECT 's' || CAST(doc_id AS VARCHAR), 'p_lang', lang,
+         doc_id * 5 + 3 FROM rdf_b WHERE doc_id % 2 = 1
+  UNION ALL SELECT 's' || CAST(doc_id AS VARCHAR), 'q_size',
+         CAST(n_chars AS VARCHAR), doc_id * 5 + 4
+  FROM rdf_b WHERE doc_id % 2 = 1),
+rdf_tt AS (
+  SELECT subject, predicate, object, tid, 1 AS side FROM rdf_t1
+  UNION ALL SELECT subject, predicate, object, tid, 2 FROM rdf_t2),
+rdf_pe AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (
+             ORDER BY min(side * {_RDF_ORD} + tid)) - 1 AS BIGINT) AS aid,
+         predicate,
+         string_agg(object, ' ' ORDER BY side, tid) AS text,
+         CAST(max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in_d1,
+         CAST(max(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS in_d2
+  FROM rdf_tt GROUP BY predicate),
+rp_tok AS (
+  SELECT aid AS eid, unnest(list_distinct(list_filter(
+      regexp_split_to_array(lower(text), '[\\W_]'), x -> x <> ''))) AS key
+  FROM rdf_pe),
+rp_sb AS (
+  SELECT key, eid FROM rp_tok
+  QUALIFY count(*) OVER (PARTITION BY key) >= 2),
+rp_cards AS (
+  SELECT key, count(*) AS block_size,
+         CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS cardinality
+  FROM rp_sb GROUP BY key),
+rp_lev AS (
+  SELECT cardinality, sum(block_size) AS bs, sum(cardinality) AS cc
+  FROM rp_cards GROUP BY cardinality),
+rp_cum AS (
+  SELECT cardinality,
+         sum(bs) OVER (ORDER BY cardinality) AS cum_bs,
+         sum(cc) OVER (ORDER BY cardinality) AS cum_cc,
+         row_number() OVER (ORDER BY cardinality) AS rn
+  FROM rp_lev),
+rp_cand AS (
+  SELECT c.rn AS i_rn, p.cardinality AS thr_card
+  FROM rp_cum c JOIN rp_cum p ON p.rn = c.rn + 1
+  WHERE c.rn >= 2 AND c.cum_bs * p.cum_cc < 1.0 * c.cum_cc * p.cum_bs),
+rp_thr AS (
+  SELECT CASE WHEN (SELECT count(*) FROM rp_cum) <= 2 THEN 0
+         ELSE coalesce((SELECT thr_card FROM rp_cand ORDER BY i_rn DESC LIMIT 1),
+                       (SELECT cardinality FROM rp_cum WHERE rn = 3))
+         END AS t),
+rp_pp AS (
+  SELECT s.key, s.eid FROM rp_sb s
+  JOIN rp_cards c ON c.key = s.key, rp_thr
+  WHERE c.cardinality <= rp_thr.t),
+rp_fc AS (
+  SELECT key, CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS cardinality
+  FROM rp_pp GROUP BY key),
+rp_rk AS (
+  SELECT p.key, p.eid,
+         row_number() OVER (PARTITION BY p.eid
+                            ORDER BY c.cardinality, p.key) AS rn,
+         count(*) OVER (PARTITION BY p.eid) AS n
+  FROM rp_pp p JOIN rp_fc c ON c.key = p.key),
+rp_bf AS (
+  SELECT key, eid FROM rp_rk WHERE rn <= floor(0.8 * n + 0.5)
+  QUALIFY count(*) OVER (PARTITION BY key) >= 2),
+rp_e AS (
+  SELECT a.eid AS id1, b.eid AS id2, CAST(count(*) AS DOUBLE) AS w
+  FROM rp_bf a JOIN rp_bf b ON a.key = b.key AND a.eid < b.eid
+  GROUP BY 1, 2),
+rp_bi AS (SELECT id1 AS node, w FROM rp_e UNION ALL SELECT id2, w FROM rp_e),
+rp_st AS (SELECT node, avg(w) AS s FROM rp_bi GROUP BY node),
+rp_wnp AS (
+  SELECT e.id1, e.id2 FROM rp_e e
+  JOIN rp_st s1 ON s1.node = e.id1 JOIN rp_st s2 ON s2.node = e.id2
+  WHERE e.w >= s1.s - {EPS} OR e.w >= s2.s - {EPS}),
+rp_wt AS (
+  SELECT aid AS eid, list_sort(list_distinct(list_filter(
+      regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS t
+  FROM rdf_pe),
+rp_mt AS (
+  SELECT id1, id2 FROM (
+    SELECT p.id1, p.id2,
+           round(CASE WHEN a.t = b.t THEN 1.0
+                 WHEN len(a.t) = 0 OR len(b.t) = 0 THEN 0.0
+                 ELSE len(list_intersect(a.t, b.t))
+                      / (sqrt(CAST(len(a.t) AS DOUBLE))
+                         * sqrt(CAST(len(b.t) AS DOUBLE)))
+                 END, 6) AS sim
+    FROM rp_wnp p JOIN rp_wt a ON a.eid = p.id1
+                  JOIN rp_wt b ON b.eid = p.id2)
+  WHERE sim > 0.0),
+rp_bidir AS MATERIALIZED (
+  SELECT id1 AS u, id2 AS v FROM rp_mt UNION SELECT id2, id1 FROM rp_mt),
+rp_reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM rp_bidir)
+  UNION SELECT r.u, b.v FROM rp_reach r JOIN rp_bidir b ON r.v = b.u),
+rp_cc AS (SELECT u AS aid, min(v) AS cluster_id FROM rp_reach GROUP BY u),
+rp_out AS MATERIALIZED (
+  SELECT coalesce(k.cluster_id, -1) AS cluster_id, p.aid, p.predicate,
+         p.in_d1, p.in_d2
+  FROM rdf_pe p LEFT JOIN rp_cc k ON k.aid = p.aid)"""
+
+    _rdf_pe_base = _RDF_BASE.split(",\nrp_tok")[0]
+    o["rdf_predicate_docs"] = f"""WITH {_rdf_pe_base}
+SELECT aid, predicate, text, in_d1, in_d2 FROM rdf_pe"""
+
+    o["rdf_predicate_clusters"] = f"""WITH RECURSIVE {_RDF_BASE}
+SELECT cluster_id, aid, predicate, in_d1, in_d2 FROM rp_out"""
+
+    # subject-ER continuation: qualifying clusters -> member triples
+    # (>= 2 per side) -> subject docs (insertion-order lid, composite
+    # enc identical to schema_clustering.rdf_subject_er) -> scoped SB
+    # -> filter 0.2 -> WNP CBS -> per-cluster tfidf char-3gram cosine
+    # > 0 -> sequential greedy 1-1 (> 0.1) in (1-w, id1, id2) order.
+    o["rdf_subject_er"] = f"""WITH RECURSIVE {_RDF_BASE},
+rs_ok AS (
+  SELECT cluster_id FROM rp_out GROUP BY cluster_id
+  HAVING max(in_d1) = 1 AND max(in_d2) = 1),
+rs_cl AS (
+  SELECT o.cluster_id, o.predicate, o.in_d1, o.in_d2
+  FROM rp_out o JOIN rs_ok k ON k.cluster_id = o.cluster_id),
+rs_mem AS MATERIALIZED (
+  SELECT c.cluster_id, t.subject AS subj, t.object AS obj, t.tid AS o,
+         1 AS side
+  FROM rdf_t1 t JOIN rs_cl c ON c.predicate = t.predicate AND c.in_d1 = 1
+  UNION ALL
+  SELECT c.cluster_id, t.subject, t.object, t.tid, 2
+  FROM rdf_t2 t JOIN rs_cl c ON c.predicate = t.predicate AND c.in_d2 = 1),
+rs_keep AS (
+  SELECT cluster_id FROM rs_mem GROUP BY cluster_id
+  HAVING sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) >= 2
+     AND sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) >= 2),
+rs_m AS (SELECT m.* FROM rs_mem m
+         JOIN rs_keep k ON k.cluster_id = m.cluster_id),
+rs_subj AS (
+  SELECT cluster_id, side, subj,
+         string_agg(obj, ' ' ORDER BY o) AS text,
+         row_number() OVER (PARTITION BY cluster_id, side
+                            ORDER BY min(o)) - 1 AS lid
+  FROM rs_m GROUP BY cluster_id, side, subj),
+rs_enc AS MATERIALIZED (
+  SELECT cluster_id, side, subj, text,
+         ((cluster_id + 2) * 2 + (side - 1)) * {_RDF_ORD} + lid AS enc
+  FROM rs_subj),
+rs_tok AS (
+  SELECT cluster_id, enc, side, unnest(list_distinct(list_filter(
+      regexp_split_to_array(lower(text), '[\\W_]'), x -> x <> ''))) AS tok
+  FROM rs_enc),
+rs_blk AS (
+  SELECT cluster_id, tok, enc, side FROM (
+    SELECT cluster_id, tok, enc, side,
+           sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY cluster_id, tok) AS n1,
+           sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY cluster_id, tok) AS n2
+    FROM rs_tok)
+  WHERE n1 >= 1 AND n2 >= 1),
+rs_fc AS (
+  SELECT cluster_id, tok,
+         (sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+          * sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)) AS cardinality
+  FROM rs_blk GROUP BY 1, 2),
+rs_rk AS (
+  SELECT b.cluster_id, b.tok, b.enc, b.side,
+         row_number() OVER (PARTITION BY b.enc
+                            ORDER BY c.cardinality, b.tok) AS rn,
+         count(*) OVER (PARTITION BY b.enc) AS n
+  FROM rs_blk b
+  JOIN rs_fc c ON c.cluster_id = b.cluster_id AND c.tok = b.tok),
+rs_bf AS (
+  SELECT cluster_id, tok, enc, side FROM (
+    SELECT cluster_id, tok, enc, side,
+           sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY cluster_id, tok) AS n1,
+           sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY cluster_id, tok) AS n2
+    FROM rs_rk WHERE rn <= floor(0.2 * n + 0.5))
+  WHERE n1 >= 1 AND n2 >= 1),
+rs_e AS (
+  SELECT a.enc AS id1, b.enc AS id2, CAST(count(*) AS DOUBLE) AS w
+  FROM rs_bf a JOIN rs_bf b
+    ON a.cluster_id = b.cluster_id AND a.tok = b.tok
+   AND a.side = 1 AND b.side = 2
+  GROUP BY 1, 2),
+rs_bi AS (SELECT id1 AS node, w FROM rs_e UNION ALL SELECT id2, w FROM rs_e),
+rs_st AS (SELECT node, avg(w) AS s FROM rs_bi GROUP BY node),
+rs_wnp AS MATERIALIZED (
+  SELECT e.id1, e.id2 FROM rs_e e
+  JOIN rs_st s1 ON s1.node = e.id1 JOIN rs_st s2 ON s2.node = e.id2
+  WHERE e.w >= s1.s - {EPS} OR e.w >= s2.s - {EPS}),
+rs_grams AS (
+  SELECT cluster_id, enc AS eid, unnest(
+      CASE WHEN len(text) < 3 THEN []
+      ELSE list_transform(generate_series(1, len(text) - 2),
+                          i -> substr(lower(text), i, 3)) END) AS term
+  FROM rs_enc),
+rs_dt AS (
+  SELECT cluster_id, eid, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM rs_grams GROUP BY 1, 2, 3),
+rs_nd AS (SELECT cluster_id, count(*) AS nd FROM rs_enc GROUP BY cluster_id),
+rs_idf AS (
+  SELECT d.cluster_id, d.term,
+         ln((1.0 + n.nd) / (1.0 + count(*))) + 1.0 AS idf
+  FROM rs_dt d JOIN rs_nd n ON n.cluster_id = d.cluster_id
+  GROUP BY d.cluster_id, d.term, n.nd),
+rs_w AS (
+  SELECT d.eid, d.term, d.tf * i.idf AS w
+  FROM rs_dt d
+  JOIN rs_idf i ON i.cluster_id = d.cluster_id AND i.term = d.term),
+rs_nrm AS (SELECT eid, sqrt(sum(w * w)) AS nrm FROM rs_w GROUP BY eid),
+rs_dots AS (
+  SELECT p.id1, p.id2, sum(a.w * b.w) AS dot
+  FROM rs_wnp p JOIN rs_w a ON a.eid = p.id1
+  JOIN rs_w b ON b.eid = p.id2 AND b.term = a.term
+  GROUP BY 1, 2),
+rs_mt AS MATERIALIZED (
+  SELECT id1, id2, sim FROM (
+    SELECT p.id1, p.id2,
+           round(coalesce(d.dot, 0.0) / (n1.nrm * n2.nrm), 6) AS sim
+    FROM rs_wnp p
+    LEFT JOIN rs_dots d ON d.id1 = p.id1 AND d.id2 = p.id2
+    JOIN rs_nrm n1 ON n1.eid = p.id1 JOIN rs_nrm n2 ON n2.eid = p.id2)
+  WHERE sim > 0.0),
+rs_umr AS MATERIALIZED (
+  SELECT id1, id2, sim,
+         row_number() OVER (ORDER BY (1.0 - sim), id1, id2) AS rn
+  FROM rs_mt WHERE sim > 0.1),
+rs_umg AS (
+  SELECT 0 AS rn, CAST([] AS BIGINT[]) AS matched,
+         CAST(NULL AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2,
+         CAST(NULL AS DOUBLE) AS mw
+  UNION ALL
+  SELECT r.rn,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN g.matched
+              ELSE list_append(list_append(g.matched, r.id1), r.id2) END,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN NULL ELSE r.id1 END,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN NULL ELSE r.id2 END,
+         CASE WHEN list_contains(g.matched, r.id1)
+               OR list_contains(g.matched, r.id2)
+              THEN NULL ELSE r.sim END
+  FROM rs_umg g JOIN rs_umr r ON r.rn = g.rn + 1)
+SELECT n1.cluster_id, n1.subj AS sid1, n2.subj AS sid2, u.mw AS weight
+FROM rs_umg u
+JOIN rs_enc n1 ON n1.enc = u.m1
+JOIN rs_enc n2 ON n2.enc = u.m2
+WHERE u.m1 IS NOT NULL"""
+
     # repetition stats: one units stream (lines / paragraphs / word
     # n-grams), per-unit counts, per-kind aggregates, conditional-agg
     # pivot — mirrors the Spark plan 1:1. Top-ngram tie-break = max
@@ -3954,6 +4330,7 @@ _DRIVER_PRIORITY = [
     # sb_block_stats empty-input oracle fix, null-text streaming
     # fingerprints
     "workflow_report", "schema_clustering", "schema_clustered_er",
+    "rdf_predicate_docs", "rdf_predicate_clusters", "rdf_subject_er",
     "spatial_relations", "spatial_relation_stats",
     "media_features", "meta_cnp_cleaned", "cnp_js", "der_dedup_clusters",
     "corpus_clean", "streaming_reconciled", "gopher_quality",

@@ -52,8 +52,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
+from .operators import block_building as BB
 from .operators import block_cleaning as BC
 from .operators import ccer as X
+from .operators import clustering as CL
+from .operators import comparison_cleaning as CC
 from .operators import matching as M
 
 # composite node id for per-cluster connected components: one CC run
@@ -306,3 +309,237 @@ def schema_clustered_er_looped(d1: DataFrame, d2: DataFrame,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.distinct()
+
+
+# ------------------------------------------------------------------ RDF
+
+# ordering key for first-appearance ranks: min(side * _ORD + tid). Caps
+# the per-side triple-order column at 10^12 (asserted nowhere — callers
+# pass compact row numbers).
+_ORD = 1 << 40
+
+
+def rdf_predicate_entities(t1: DataFrame, t2: DataFrame | None = None,
+                           subject_col: str = "subject",
+                           predicate_col: str = "predicate",
+                           object_col: str = "object",
+                           ord_col: str = "tid") -> DataFrame:
+    """(aid, predicate, text, in_d1, in_d2): one document per DISTINCT
+    predicate across both triple tables (ref schema/clustering.py:
+    388-404, RDFSchemaClustering.process).
+
+    Reference semantics: a dict keyed by predicate accumulates
+    ``' ' + object`` scanning dataset_1's rows then dataset_2's — so a
+    predicate string shared by both datasets becomes ONE document whose
+    text holds d1's objects before d2's, and ``aid`` is the dict's
+    insertion order (first appearance scanning d1 then d2). Replicated:
+    text = objects joined by ' ' ordered by (side, ``ord_col``), aid =
+    rank of min(side, ord). ``in_d1``/``in_d2`` carry the reference's
+    predicates_set_d1/d2 membership (clustering.py:392/402) used later
+    by contains_items_from_both. The reference's raw ``' ' +`` concat
+    leading space is dropped (token-identical); a null object would
+    TypeError in the reference — we cast-and-coalesce to 'nan' and say
+    so."""
+    def side(t, s):
+        return t.select(
+            F.lit(s).alias("side"),
+            F.col(ord_col).cast("long").alias("o"),
+            F.col(predicate_col).alias("predicate"),
+            F.coalesce(F.col(object_col).cast("string"),
+                       F.lit("nan")).alias("obj"))
+
+    rows = side(t1, 1)
+    if t2 is not None:
+        rows = rows.unionByName(side(t2, 2))
+    agg = rows.groupBy("predicate").agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                (F.col("side") * F.lit(_ORD) + F.col("o")).alias("k"),
+                F.col("obj").alias("v")))),
+            lambda x: x["v"])).alias("text"),
+        F.max((F.col("side") == 1).cast("int")).alias("in_d1"),
+        F.max((F.col("side") == 2).cast("int")).alias("in_d2"),
+        F.min(F.col("side") * F.lit(_ORD) + F.col("o")).alias("_first"))
+    w = Window.orderBy("_first")
+    return agg.select(
+        (F.row_number().over(w) - 1).cast("long").alias("aid"),
+        "predicate", "text", "in_d1", "in_d2")
+
+
+def rdf_predicate_clusters(preds: DataFrame,
+                           purging_smoothing: float = 1.0,
+                           filtering_ratio: float = 0.8,
+                           weighting_scheme: str = "CBS",
+                           similarity_threshold: float = 0.0) -> DataFrame:
+    """(cluster_id, aid, predicate, in_d1, in_d2): the reference's
+    default predicate-clustering workflow
+    (pyjedai_workflow_for_er_on_predicates, schema/clustering.py:
+    625-640) — dirty ER over the predicate documents: StandardBlocking
+    -> BlockPurging(1.0) -> BlockFiltering(0.8) -> WeightedNodePruning
+    (CBS) -> EntityMatching(cosine, sim > 0) -> connected components.
+    cluster_id = the component's min aid; every predicate with no
+    retained match edge lands in the single appended "redundant"
+    cluster, id -1 (clustering.py:438-448: the match graph holds only
+    edge endpoints, so isolated predicates are exactly the reference's
+    entities_not_in_clusters)."""
+    p = BB.standard_blocking(preds, id_col="aid", text_col="text")
+    p = BC.block_purging(p, purging_smoothing)
+    p = BC.block_filtering(p, filtering_ratio)
+    e = CC.weighted_node_pruning(p, weighting_scheme)
+    m = M.entity_matching(e.select("id1", "id2"), preds, metric="cosine",
+                          similarity_threshold=similarity_threshold,
+                          id_col="aid", text_col="text", round_to=6)
+    cc = CL.connected_components(m.select("id1", "id2"))
+    return preds.join(
+        cc.select(F.col("eid").alias("aid"), "cluster_id"), "aid", "left") \
+        .select(F.coalesce("cluster_id", F.lit(-1)).alias("cluster_id"),
+                "aid", "predicate", "in_d1", "in_d2")
+
+
+def rdf_subject_er(t1: DataFrame, t2: DataFrame, clusters: DataFrame,
+                   subject_col: str = "subject",
+                   predicate_col: str = "predicate",
+                   object_col: str = "object",
+                   ord_col: str = "tid",
+                   filtering_ratio: float = 0.2,
+                   weighting_scheme: str = "CBS",
+                   qgram: int = 3,
+                   em_threshold: float = 0.0,
+                   umc_threshold: float = 0.1,
+                   round_to: int = 6) -> DataFrame:
+    """(cluster_id, sid1, sid2, weight): per-predicate-cluster subject
+    resolution — the reference's RDFSchemaClustering.process main loop
+    (schema/clustering.py:406-603) re-expressed as ONE batched plan.
+
+    Reference semantics per qualifying cluster (has predicates from
+    both datasets, clustering.py:452-457; the redundant cluster
+    participates, :448; skipped when either side holds < 2 triples,
+    :512-513): concatenate each subject's objects in row order into a
+    subject document (:520-532), then run the subjects-ccer workflow
+    (pyjedai_workflow_for_er_on_subjects, :605-624): StandardBlocking
+    -> BlockFiltering(0.2) -> WeightedNodePruning(CBS) -> EntityMatching
+    (tfidf over char 3-grams, cosine, sim > 0) -> UniqueMapping-
+    Clustering(0.1) -> cross-side subject pairs.
+
+    Batching (the scale path replacing the reference's per-cluster
+    python loop): the cluster id is folded into every blocking key and
+    entity id, so blocks, node statistics, tf-idf document frequencies
+    (fitted per cluster corpus, both sides — FrequencyEvaluator
+    semantics) and matches never span clusters; greedy 1-1 matching
+    over the union of cluster-disjoint vertex sets equals per-cluster
+    greedy exactly, so one :func:`~pyjedai_spark.operators.clustering.
+    unique_mapping_distributed` pass finishes every cluster at once.
+    Entity ids inside a cluster are the reference's insertion order
+    (subjects ranked by first triple), preserving its UMC tie-break;
+    the reference collapses output to a last-cluster-wins dict — we
+    return the full distinct pair set with the cluster id (documented
+    delta, same as :func:`schema_clustered_er`)."""
+    qual = clusters.groupBy("cluster_id").agg(
+        F.max("in_d1").alias("_a"), F.max("in_d2").alias("_b")) \
+        .where((F.col("_a") == 1) & (F.col("_b") == 1)).select("cluster_id")
+    cl = clusters.join(qual, "cluster_id") \
+        .select("cluster_id", "predicate", "in_d1", "in_d2")
+
+    def member(t, s, flag):
+        return (t.select(
+            F.col(subject_col).alias("subj"),
+            F.col(predicate_col).alias("predicate"),
+            F.coalesce(F.col(object_col).cast("string"),
+                       F.lit("nan")).alias("obj"),
+            F.col(ord_col).cast("long").alias("o"))
+            .join(cl.where(F.col(flag) == 1).select("cluster_id", "predicate"),
+                  "predicate")
+            .withColumn("side", F.lit(s)))
+
+    mem = member(t1, 1, "in_d1").unionByName(member(t2, 2, "in_d2"))
+    sizes = mem.groupBy("cluster_id").agg(
+        F.sum((F.col("side") == 1).cast("long")).alias("_n1"),
+        F.sum((F.col("side") == 2).cast("long")).alias("_n2"))
+    mem = mem.join(
+        sizes.where((F.col("_n1") >= 2) & (F.col("_n2") >= 2))
+        .select("cluster_id"), "cluster_id")
+
+    # subject documents; lid = the reference's per-(cluster, side)
+    # insertion order (rank of first triple)
+    subj = mem.groupBy("cluster_id", "side", "subj").agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("o").alias("k"), F.col("obj").alias("v")))),
+            lambda x: x["v"])).alias("text"),
+        F.min("o").alias("_first"))
+    w = Window.partitionBy("cluster_id", "side").orderBy("_first")
+    subj = subj.withColumn("lid", (F.row_number().over(w) - 1).cast("long"))
+    # composite vertex id: cluster- and side-disjoint, monotone in lid
+    subj = subj.withColumn(
+        "enc",
+        ((F.col("cluster_id") + 2) * 2 + (F.col("side") - 1)) * F.lit(_ENC)
+        + F.col("lid")).localCheckpoint()
+
+    # cluster-scoped CCER standard blocking
+    def post(s):
+        return (subj.where(F.col("side") == s)
+                .select("cluster_id", "enc",
+                        F.explode(T.tokens("text")).alias("tok"))
+                .distinct()
+                .select(F.concat_ws(
+                    "\x1f", F.col("cluster_id").cast("string"),
+                    "tok").alias("key"),
+                    F.col("enc").alias("eid"), F.lit(s).alias("side")))
+
+    p = post(1).unionByName(post(2))
+    kw = Window.partitionBy("key")
+    p = (p.withColumn("_n1", F.sum((F.col("side") == 1).cast("int")).over(kw))
+         .withColumn("_n2", F.sum((F.col("side") == 2).cast("int")).over(kw))
+         .where((F.col("_n1") >= 1) & (F.col("_n2") >= 1))
+         .select("key", "eid", "side"))
+    p = BC.block_filtering(p, filtering_ratio, dirty=False)
+    e = X.ccer_wnp(p, weighting_scheme)
+
+    # per-cluster tf-idf over char q-grams (sklearn smooth-idf formula,
+    # same as matching.tfidf_cosine_matching but with df and N scoped
+    # to the cluster corpus)
+    toks = T.char_qgrams(F.col("text"), qgram, distinct=False)
+    dt = (subj.select("cluster_id", F.col("enc").alias("eid"),
+                      F.explode(toks).alias("term"))
+          .groupBy("cluster_id", "eid", "term")
+          .agg(F.count("*").cast("double").alias("tf")))
+    nd = subj.groupBy("cluster_id").agg(F.count("*").alias("nd"))
+    idf = (dt.groupBy("cluster_id", "term").agg(F.count("*").alias("df"))
+           .join(nd, "cluster_id")
+           .select("cluster_id", "term",
+                   (F.log((1.0 + F.col("nd")) / (1.0 + F.col("df")))
+                    + 1.0).alias("idf")))
+    wgt = dt.join(idf, ["cluster_id", "term"]).select(
+        "eid", "term", (F.col("tf") * F.col("idf")).alias("w"))
+    nrm = wgt.groupBy("eid").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    pairs = e.select("id1", "id2")
+    dots = (pairs
+            .join(wgt.select(F.col("eid").alias("id1"), "term",
+                             F.col("w").alias("w1")), "id1")
+            .join(wgt.select(F.col("eid").alias("id2"), "term",
+                             F.col("w").alias("w2")), ["id2", "term"])
+            .groupBy("id1", "id2")
+            .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot")))
+    m = (pairs.join(dots, ["id1", "id2"], "left")
+         .join(nrm.select(F.col("eid").alias("id1"),
+                          F.col("nrm").alias("_na")), "id1")
+         .join(nrm.select(F.col("eid").alias("id2"),
+                          F.col("nrm").alias("_nb")), "id2")
+         .withColumn("sim", F.round(
+             F.coalesce(F.col("dot"), F.lit(0.0))
+             / (F.col("_na") * F.col("_nb")), round_to))
+         .where(F.col("sim") > em_threshold)
+         .select("id1", "id2", "sim"))
+
+    umc = CL.unique_mapping_distributed(m, similarity_threshold=umc_threshold)
+
+    names = subj.select("enc", "cluster_id", "side", "subj")
+    return (umc
+            .join(names.where(F.col("side") == 1)
+                  .select(F.col("enc").alias("id1"), "cluster_id",
+                          F.col("subj").alias("sid1")), "id1")
+            .join(names.where(F.col("side") == 2)
+                  .select(F.col("enc").alias("id2"),
+                          F.col("subj").alias("sid2")), "id2")
+            .select("cluster_id", "sid1", "sid2", "weight"))

@@ -257,3 +257,103 @@ def test_edge_weights_salted_equals_plain(spark, docs):
                   for r in CC.edge_weights(p, scheme, salt_threshold=4,
                                            salt_chunks=5).collect()}
         assert plain == salted, scheme
+
+
+# ---------------------------------------------------------------- RDF
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    """Tiny RDF fixture: t1 predicates p_name/p_city plus the shared
+    p_lang; t2 q_full plus p_lang. Names carry three tokens so
+    BlockFiltering(0.2) keeps floor(0.2*3+0.5)=1 block per subject."""
+    t1 = spark.createDataFrame(
+        [("s0", "p_name", "alice q smith", 0),
+         ("s1", "p_name", "bob w jones", 1),
+         ("s2", "p_name", "carol e white", 2),
+         ("s0", "p_city", "berlin", 3),
+         ("s1", "p_city", "paris", 4),
+         ("s0", "p_lang", "en", 5)],
+        "subject string, predicate string, object string, tid long")
+    t2 = spark.createDataFrame(
+        [("r0", "q_full", "alice q smith", 0),
+         ("r1", "q_full", "bob w jones", 1),
+         ("r2", "q_full", "dave r black", 2),
+         ("r0", "p_lang", "fr", 3),
+         ("r1", "q_full", None, 4)],
+        "subject string, predicate string, object string, tid long")
+    return t1, t2
+
+
+def test_rdf_predicate_entities_merge_order_and_flags(spark, triples):
+    """Merged-predicate semantics (ref schema/clustering.py:388-404):
+    one document per distinct predicate, d1 objects before d2 objects in
+    row order, aid = insertion order scanning d1 then d2, per-side
+    membership flags, null object -> the reference's str(NaN) 'nan'."""
+    from pyjedai_spark.schema_clustering import rdf_predicate_entities
+
+    t1, t2 = triples
+    rows = {r["predicate"]: r
+            for r in rdf_predicate_entities(t1, t2).collect()}
+    assert rows["p_name"]["text"] == "alice q smith bob w jones carol e white"
+    assert rows["p_name"]["aid"] == 0
+    assert (rows["p_name"]["in_d1"], rows["p_name"]["in_d2"]) == (1, 0)
+    # shared predicate: ONE document, d1's objects first, both flags set
+    assert rows["p_lang"]["text"] == "en fr"
+    assert (rows["p_lang"]["in_d1"], rows["p_lang"]["in_d2"]) == (1, 1)
+    # aid follows first appearance scanning d1 (by tid) then d2
+    assert rows["p_city"]["aid"] == 1
+    assert rows["p_lang"]["aid"] == 2
+    assert rows["q_full"]["aid"] == 3
+    # null object -> 'nan' (the reference would TypeError; documented)
+    assert rows["q_full"]["text"].endswith("dave r black nan")
+
+
+def test_rdf_predicate_clusters_partition_property(spark, triples):
+    """Every predicate appears exactly once; cluster ids are either a
+    member's min aid or the appended redundant cluster -1 (ref
+    clustering.py:438-448). Exact chain values are pinned by the
+    rdf_predicate_clusters DuckDB oracle."""
+    from pyjedai_spark.schema_clustering import (rdf_predicate_clusters,
+                                                 rdf_predicate_entities)
+
+    t1, t2 = triples
+    preds = rdf_predicate_entities(t1, t2).localCheckpoint()
+    out = rdf_predicate_clusters(preds).collect()
+    assert sorted(r["aid"] for r in out) == [0, 1, 2, 3]
+    aids = {r["aid"] for r in out}
+    for r in out:
+        assert r["cluster_id"] == -1 or r["cluster_id"] in aids
+    by_cl = {}
+    for r in out:
+        by_cl.setdefault(r["cluster_id"], []).append(r["aid"])
+    for cid, members in by_cl.items():
+        if cid != -1:
+            assert cid == min(members)
+
+
+def test_rdf_subject_er_qualifying_clusters_and_pairs(spark, triples):
+    """Cross-side subject resolution inside qualifying predicate
+    clusters only (ref clustering.py:452-532): exact-name subjects
+    match 1-1; d1-only clusters and <2-triples-per-side clusters are
+    skipped."""
+    from pyjedai_spark.schema_clustering import rdf_subject_er
+
+    t1, t2 = triples
+    clusters = spark.createDataFrame(
+        [(0, "p_name", 1, 0), (0, "q_full", 0, 1),   # qualifying
+         (1, "p_city", 1, 0),                          # d1-only: skipped
+         (2, "p_lang", 1, 1)],                         # 1 triple/side: skipped
+        "cluster_id long, predicate string, in_d1 long, in_d2 long")
+    out = rdf_subject_er(t1, t2, clusters).collect()
+    pairs = {(r["cluster_id"], r["sid1"], r["sid2"]) for r in out}
+    assert (0, "s0", "r0") in pairs
+    assert (0, "s1", "r1") in pairs
+    # carol/dave share no tokens; city/lang clusters produce nothing
+    assert all(c == 0 for c, _, _ in pairs)
+    assert all(s1 in {"s0", "s1"} for _, s1, _ in pairs)
+    # s0/r0 documents are identical -> cosine exactly 1; r1 carries the
+    # null-object 'nan' token (documented coalesce), so s1/r1 sits
+    # strictly between the UMC threshold and 1.
+    by_pair = {(r["sid1"], r["sid2"]): r["weight"] for r in out}
+    assert by_pair[("s0", "r0")] == 1.0
+    assert 0.1 < by_pair[("s1", "r1")] < 1.0
