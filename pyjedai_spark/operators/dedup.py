@@ -426,3 +426,53 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         .select("id1", "id2", "jaccard")
     )
     return out
+
+
+def cluster_survivors(members: DataFrame, ranks: DataFrame,
+                      id_col: str = "eid", cluster_col: str = "cluster_id",
+                      rank_col: str = "rank",
+                      descending: bool = True) -> DataFrame:
+    """Tiered survivor selection: re-pick each duplicate cluster's
+    canonical member by an explicit per-doc ranking instead of the
+    min-id default every dedup operator here uses.
+
+    ``members``: (id_col, cluster_col) cluster assignments — exact
+    fingerprint groups, MinHash-CC clusters, URL groups, anything.
+    ``ranks``: (id_col, rank_col) numeric ranking — quality score,
+    source-tier priority (curated > crawl), recency, length. The
+    survivor is the best-ranked member (highest when ``descending``,
+    lowest otherwise); ties and unranked members (rank NULL, or id
+    missing from ``ranks`` — both sort last) break to the minimum id,
+    so output is deterministic and degrades to the min-id policy when
+    every rank ties. Returns (eid, cluster_id, survivor, is_survivor).
+
+    This is the keep-the-best-copy policy large training-data pipelines
+    apply across dumps/tiers (keep the curated or highest-quality copy
+    of a duplicate group, not an arbitrary one); composes with
+    ``exact_dedup``/``minhash_dedup_pipeline``/``corpus_clean_pipeline``
+    output by feeding their cluster columns in as ``members``.
+
+    Scale: groupBy(cluster).agg(max(struct(rank_key, -id, id))) is a
+    map-side-combining aggregate (one row per cluster per map task —
+    a 10^8-member boilerplate cluster never funnels through one window
+    task), then one hash-join back on the cluster key; both shuffles
+    are on the cluster key only.
+    """
+    m = members.select(F.col(id_col).cast("long").alias("eid"),
+                       F.col(cluster_col).alias("cluster_id"))
+    r = ranks.select(F.col(id_col).cast("long").alias("eid"),
+                     F.col(rank_col).cast("double").alias("_rank"))
+    j = m.join(r, "eid", "left")
+    key = F.col("_rank") if descending else -F.col("_rank")
+    key = F.coalesce(key, F.lit(float("-inf")))
+    best = j.groupBy("cluster_id").agg(
+        F.max(F.struct(key.alias("k"),
+                       (-F.col("eid")).alias("ni"),
+                       F.col("eid").alias("best_eid"))).alias("_b"))
+    return (
+        m.join(best, "cluster_id")
+        .select("eid", "cluster_id",
+                F.col("_b.best_eid").alias("survivor"),
+                (F.col("eid") == F.col("_b.best_eid")).cast("int")
+                .alias("is_survivor"))
+    )

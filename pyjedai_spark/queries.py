@@ -252,6 +252,46 @@ sims AS (SELECT eid, {recompose} AS simhash FROM bits)"""
 
 # ------------------------------------------------------------- registry
 
+def _quality_sql() -> str:
+    """CTE chain qt -> qfeat -> qsc(doc_id, features, quality_score):
+    the quality_score oracle as a composable fragment (names prefixed
+    q* so it nests beside the minhash/blocking fragments)."""
+    en_arr = "[" + ", ".join(f"'{w}'" for w in A.STOPWORDS["en"]) + "]"
+    return f"""qt AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
+                     x -> x <> '') AS tl
+  FROM documents),
+qfeat AS (
+  SELECT doc_id,
+         len(tl) AS n_tokens,
+         CASE WHEN len(tl) > 0 THEN
+           round(list_sum(list_transform(tl, x -> len(x))) * 1.0 / len(tl), 6)
+         ELSE 0.0 END AS avg_token_len,
+         CASE WHEN len(tl) > 0 THEN
+           round(len(list_filter(tl, x -> list_contains({en_arr}, x))) * 1.0
+                 / len(tl), 6)
+         ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(tl) > 0 THEN
+           round(len(list_distinct(tl)) * 1.0 / len(tl), 6)
+         ELSE 0.0 END AS unique_ratio,
+         CASE WHEN len(text) > 0 THEN
+           round(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0
+                 / len(text), 6)
+         ELSE 0.0 END AS alpha_ratio
+  FROM qt),
+qsc AS (
+  SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, unique_ratio,
+         alpha_ratio,
+         round((CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10
+                     THEN 0.25 ELSE 0 END)
+             + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN unique_ratio >= 0.3 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0 END), 2)
+         AS quality_score
+  FROM qfeat)"""
+
+
 def _docs(spark, sf_dir):
     return load_documents(spark, sf_dir)
 
@@ -413,6 +453,40 @@ def q_minhash_near_dup(spark, sf_dir):
     cands = DD.lsh_candidate_pairs(docs, k=32, bands=8, shingle_size=3,
                                    max_bucket=None)
     return DD.jaccard_verify(cands, docs, threshold=0.5, shingle_size=3)
+
+
+def q_tiered_exact_dedup(spark, sf_dir):
+    """Tiered dedup, exact groups: survivor of each content-fingerprint
+    group is the HIGHEST-quality member (quality_score desc, tie min
+    id) instead of the min-id default — the keep-the-best-copy policy
+    cross-dump training pipelines apply."""
+    docs = _docs(spark, sf_dir)
+    groups = DD.exact_dedup(docs).select(
+        "eid", F.col("fingerprint").alias("cluster_id"))
+    qs = A.quality_score(docs).select("eid", F.col("quality_score").alias("rank"))
+    out = DD.cluster_survivors(groups, qs)
+    return out.select(F.col("eid").alias("doc_id"), "cluster_id",
+                      "survivor",
+                      F.col("is_survivor").cast("long").alias("is_survivor"))
+
+
+def q_tiered_near_dup(spark, sf_dir):
+    """Tiered dedup over MinHash-LSH near-dup clusters: the full
+    signature->bands->verify->connected-components chain, then each
+    cluster keeps its best-quality member (not the cluster-min id)."""
+    from .pipeline import minhash_dedup_pipeline
+
+    docs = _docs(spark, sf_dir)
+    clusters = minhash_dedup_pipeline(docs, id_col="doc_id",
+                                      shingle_size=3,
+                                      jaccard_threshold=0.5,
+                                      max_bucket=None)
+    qs = A.quality_score(docs).select("eid", F.col("quality_score").alias("rank"))
+    out = DD.cluster_survivors(clusters, qs)
+    return out.select(F.col("eid").alias("doc_id"),
+                      F.col("cluster_id").cast("long").alias("cluster_id"),
+                      "survivor",
+                      F.col("is_survivor").cast("long").alias("is_survivor"))
 
 
 def q_simhash_signatures(spark, sf_dir):
@@ -1600,6 +1674,8 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_lsh_pairs_salted": q_minhash_lsh_pairs_salted,
     "minhash_near_dup": q_minhash_near_dup,
+    "tiered_exact_dedup": q_tiered_exact_dedup,
+    "tiered_near_dup": q_tiered_near_dup,
     "simhash_signatures": q_simhash_signatures,
     "simhash_pairs": q_simhash_pairs,
     "substring_dedup": q_substring_dedup,
@@ -2208,39 +2284,59 @@ sc AS (SELECT doc_id, {', '.join(score_exprs)} FROM t),
 mx AS (SELECT *, greatest({', '.join('s_' + lang for lang in langs)}) AS m FROM sc)
 SELECT doc_id, {case_lang} AS lang_pred, m AS lang_score FROM mx"""
 
-    en_arr = "[" + ", ".join(f"'{w}'" for w in A.STOPWORDS["en"]) + "]"
-    o["quality_score"] = f"""WITH t AS (
-  SELECT doc_id, text,
-         list_filter(regexp_split_to_array(lower(text), '[\\W_]'),
-                     x -> x <> '') AS tl
-  FROM documents),
-feat AS (
-  SELECT doc_id,
-         len(tl) AS n_tokens,
-         CASE WHEN len(tl) > 0 THEN
-           round(list_sum(list_transform(tl, x -> len(x))) * 1.0 / len(tl), 6)
-         ELSE 0.0 END AS avg_token_len,
-         CASE WHEN len(tl) > 0 THEN
-           round(len(list_filter(tl, x -> list_contains({en_arr}, x))) * 1.0
-                 / len(tl), 6)
-         ELSE 0.0 END AS stopword_ratio,
-         CASE WHEN len(tl) > 0 THEN
-           round(len(list_distinct(tl)) * 1.0 / len(tl), 6)
-         ELSE 0.0 END AS unique_ratio,
-         CASE WHEN len(text) > 0 THEN
-           round(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0
-                 / len(text), 6)
-         ELSE 0.0 END AS alpha_ratio
-  FROM t)
+    o["quality_score"] = f"""WITH {_quality_sql()}
 SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, unique_ratio,
-       alpha_ratio,
-       round((CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10
-                   THEN 0.25 ELSE 0 END)
-           + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0 END)
-           + (CASE WHEN unique_ratio >= 0.3 THEN 0.25 ELSE 0 END)
-           + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0 END), 2)
-       AS quality_score
-FROM feat"""
+       alpha_ratio, quality_score
+FROM qsc"""
+
+    # tiered dedup: survivor = best-quality member per cluster (tie ->
+    # min id; unranked/NULL quality sorts last) — the window mirrors
+    # cluster_survivors' max(struct(rank, -id)) aggregate
+    o["tiered_exact_dedup"] = f"""WITH {_quality_sql()},
+th AS (
+  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS cluster_id
+  FROM documents),
+tm AS (
+  SELECT th.doc_id, th.cluster_id,
+         coalesce(qsc.quality_score, -1e308) AS r
+  FROM th LEFT JOIN qsc ON qsc.doc_id = th.doc_id)
+SELECT doc_id, cluster_id,
+       first_value(doc_id) OVER (PARTITION BY cluster_id
+                                 ORDER BY r DESC, doc_id) AS survivor,
+       CAST(doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+                                               ORDER BY r DESC, doc_id)
+            AS BIGINT) AS is_survivor
+FROM tm"""
+
+    o["tiered_near_dup"] = f"""WITH RECURSIVE {_quality_sql()},
+{_tokhash_sql(3)},
+{_minhash_sig_sql(32)},
+{_bands_sql(8, 4)},
+tcand AS (
+  SELECT DISTINCT a.eid AS id1, b.eid AS id2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.eid < b.eid),
+tver AS (
+  SELECT id1, id2 FROM (
+    SELECT c.id1, c.id2,
+           round(len(list_intersect(x.sl, y.sl)) * 1.0
+                 / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl))), 6)
+           AS jaccard
+    FROM tcand c JOIN hx x ON x.eid = c.id1 JOIN hx y ON y.eid = c.id2)
+  WHERE jaccard >= 0.5),
+{_cc_sql('tver')},
+tcl AS (SELECT u AS eid, min(v) AS cluster_id FROM reach GROUP BY u),
+tmm AS (
+  SELECT tcl.eid, tcl.cluster_id,
+         coalesce(qsc.quality_score, -1e308) AS r
+  FROM tcl LEFT JOIN qsc ON qsc.doc_id = tcl.eid)
+SELECT eid AS doc_id, cluster_id,
+       first_value(eid) OVER (PARTITION BY cluster_id
+                              ORDER BY r DESC, eid) AS survivor,
+       CAST(eid = first_value(eid) OVER (PARTITION BY cluster_id
+                                         ORDER BY r DESC, eid)
+            AS BIGINT) AS is_survivor
+FROM tmm"""
 
     # line dedup: multi-line docs derived by ' the ' -> newline in BOTH
     # engines; first-occurrence = (doc_id, pos) order; positions are
@@ -2282,6 +2378,8 @@ LEFT JOIN rebuilt r ON r.doc_id = d.doc_id"""
        CAST(len(regexp_extract_all(text,
             '\\+\\d[\\d()\\- ]{7,}\\d')) AS BIGINT) AS n_phoneish
 FROM documents"""
+
+    en_arr = "[" + ", ".join(f"'{w}'" for w in A.STOPWORDS["en"]) + "]"
 
     def _gopher_sql(src: str) -> str:
         """CTE chain ``g_t -> g_feat -> g_pass`` computing the Gopher
@@ -4329,6 +4427,7 @@ _DRIVER_PRIORITY = [
     # /corpus chains), the media_features hashable projection, the
     # sb_block_stats empty-input oracle fix, null-text streaming
     # fingerprints
+    "tiered_exact_dedup", "tiered_near_dup",
     "workflow_report", "schema_clustering", "schema_clustered_er",
     "rdf_predicate_docs", "rdf_predicate_clusters", "rdf_subject_er",
     "spatial_relations", "spatial_relation_stats",

@@ -431,3 +431,81 @@ def test_gopher_quality_semantics(spark):
     assert out[1]["bullet_line_frac"] == 1.0 and out[1]["passes"] == 0
     # 60 one-char words: mean_word_len 1 < 3 -> fail
     assert out[2]["passes"] == 0
+
+
+# ---- tiered survivor selection (cluster_survivors) ----
+
+def _cs_input(spark):
+    from pyjedai_spark.operators import dedup as DD
+    members = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c")],
+        "eid long, cluster_id string")
+    # 2 is best in a; 4/5 tie in b -> min id 4; 6 singleton
+    ranks = spark.createDataFrame(
+        [(1, 0.25), (2, 0.75), (3, 0.5), (4, 0.5), (5, 0.5), (6, 1.0)],
+        "eid long, rank double")
+    return DD, members, ranks
+
+
+def test_cluster_survivors_best_rank_and_ties(spark):
+    DD, members, ranks = _cs_input(spark)
+    out = {r["eid"]: (r["survivor"], r["is_survivor"])
+           for r in DD.cluster_survivors(members, ranks).collect()}
+    assert out == {1: (2, 0), 2: (2, 1), 3: (2, 0),
+                   4: (4, 1), 5: (4, 0), 6: (6, 1)}
+
+
+def test_cluster_survivors_ascending(spark):
+    DD, members, ranks = _cs_input(spark)
+    out = {r["eid"]: r["survivor"]
+           for r in DD.cluster_survivors(members, ranks,
+                                         descending=False).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_cluster_survivors_null_and_missing_ranks_lose(spark):
+    from pyjedai_spark.operators import dedup as DD
+    members = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (7, "d"), (8, "d")],
+        "eid long, cluster_id string")
+    # 1 has NULL rank, 3 is absent from ranks entirely, 2 has a real
+    # (even negative) rank -> 2 wins; all-unranked cluster d -> min id
+    ranks = spark.createDataFrame(
+        [(1, None), (2, -5.0)], "eid long, rank double")
+    out = {r["eid"]: r["survivor"]
+           for r in DD.cluster_survivors(members, ranks).collect()}
+    assert out == {1: 2, 2: 2, 3: 2, 7: 7, 8: 7}
+
+
+def test_cluster_survivors_all_tied_degrades_to_min_id(spark):
+    from pyjedai_spark.operators import dedup as DD
+    members = spark.createDataFrame(
+        [(9, 1), (4, 1), (7, 1), (12, 2)], "eid long, cluster_id int")
+    ranks = members.select("eid", F.lit(1.0).alias("rank"))
+    out = {r["eid"]: r["survivor"]
+           for r in DD.cluster_survivors(members, ranks).collect()}
+    assert out == {9: 4, 4: 4, 7: 4, 12: 12}
+
+
+def test_cluster_survivors_matches_naive_window(spark):
+    """Property: the map-side-combining aggregate equals the naive
+    row_number window on a pseudo-random instance."""
+    import random
+
+    from pyspark.sql import Window
+
+    from pyjedai_spark.operators import dedup as DD
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(40),
+             None if rng.random() < 0.15 else round(rng.random(), 3))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "eid long, cluster_id long, rank double")
+    got = DD.cluster_survivors(df.select("eid", "cluster_id"),
+                               df.select("eid", "rank"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.coalesce("rank", F.lit(float("-inf"))).desc(), F.col("eid"))
+    naive = (df.withColumn("survivor", F.first("eid").over(w))
+             .select("eid", "cluster_id", "survivor",
+                     (F.col("eid") == F.col("survivor")).cast("int")
+                     .alias("is_survivor")))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
