@@ -47,7 +47,8 @@ def canonical_url(col) -> Column:
 
 
 def url_dedup(docs: DataFrame, id_col: str = "doc_id",
-              url_col: str = "url") -> DataFrame:
+              url_col: str = "url", ranks: DataFrame | None = None,
+              rank_col: str = "rank") -> DataFrame:
     """Per doc: its canonical URL and the survivor (min id sharing that
     canonical URL). One groupBy on the canonical key — partial+final
     aggregate, then a key-partitioned join back; no windows, no skew
@@ -57,13 +58,31 @@ def url_dedup(docs: DataFrame, id_col: str = "doc_id",
     ("\\x00null:<eid>" — '\\x00' cannot appear in a canonicalized URL),
     so null-url docs survive as their own singletons instead of
     vanishing from the inner join on a NULL key; ``url_canon`` is
-    reported as NULL for them."""
+    reported as NULL for them.
+
+    ``ranks`` (optional, (id_col, rank_col) numeric): tiered survivor
+    policy — the survivor becomes the HIGHEST-ranked member of each
+    URL group (quality score, source-tier priority); ties and
+    unranked/NULL-ranked members sort last and break to min id, so it
+    degrades to the min-id default when every rank ties. Same
+    map-side-combining aggregate shape (max(struct) instead of min)."""
     canon = canonical_url(url_col)
     key = F.coalesce(canon,
                      F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")))
     d = docs.select(F.col(id_col).alias("eid"), key.alias("_key"),
                     canon.alias("url_canon"))
-    survivors = d.groupBy("_key").agg(F.min("eid").alias("survivor"))
+    if ranks is None:
+        survivors = d.groupBy("_key").agg(F.min("eid").alias("survivor"))
+    else:
+        r = ranks.select(F.col(id_col).alias("eid"),
+                         F.col(rank_col).cast("double").alias("_rank"))
+        survivors = (
+            d.join(r, "eid", "left").groupBy("_key")
+            .agg(F.max(F.struct(
+                F.coalesce("_rank", F.lit(float("-inf"))).alias("k"),
+                (-F.col("eid")).alias("ni"),
+                F.col("eid").alias("best"))).alias("_b"))
+            .select("_key", F.col("_b.best").alias("survivor")))
     return d.join(survivors, "_key").select(
         "eid", "url_canon", "survivor",
         (F.col("eid") != F.col("survivor")).cast("long").alias("is_dup"))

@@ -60,10 +60,19 @@ def minhash_coeffs(k: int) -> list[tuple[int, int]]:
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text", normalize: bool = True) -> DataFrame:
+                text_col: str = "text", normalize: bool = True,
+                ranks: DataFrame | None = None,
+                rank_col: str = "rank") -> DataFrame:
     """Exact duplicate groups by content hash: (eid, fingerprint,
     group_size, is_duplicate, keep). ``keep`` marks the minimum id of
-    each group — the canonical survivor a training pipeline retains."""
+    each group — the canonical survivor a training pipeline retains.
+
+    ``ranks`` (optional, (id_col, rank_col) numeric): tiered survivor
+    policy — ``keep`` marks the HIGHEST-ranked member instead (ties and
+    unranked members sort last, break to min id); degrades to min-id
+    when every rank ties. For exact groups the texts are identical, so
+    the ranking is only meaningful when it carries doc-level signal
+    beyond the text (source tier, recency, url quality)."""
     # NULL text hashes like empty text (all-missing docs are one exact
     # group, not silently dropped — real crawl data has null fields)
     base = F.coalesce(F.col(text_col), F.lit(""))
@@ -74,13 +83,26 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     # boilerplate fingerprint reduces to one (fingerprint, count, min)
     # row per map task instead of funneling every copy through a single
     # window task. Same pattern as functions/urls.py:url_dedup.
-    groups = h.groupBy("fingerprint").agg(
-        F.count("*").alias("group_size"), F.min("eid").alias("_min_eid"))
+    if ranks is None:
+        groups = h.groupBy("fingerprint").agg(
+            F.count("*").alias("group_size"), F.min("eid").alias("_keep_eid"))
+    else:
+        r = ranks.select(F.col(id_col).alias("eid"),
+                         F.col(rank_col).cast("double").alias("_rank"))
+        groups = (
+            h.join(r, "eid", "left").groupBy("fingerprint")
+            .agg(F.count("*").alias("group_size"),
+                 F.max(F.struct(
+                     F.coalesce("_rank", F.lit(float("-inf"))).alias("k"),
+                     (-F.col("eid")).alias("ni"),
+                     F.col("eid").alias("best"))).alias("_b"))
+            .select("fingerprint", "group_size",
+                    F.col("_b.best").alias("_keep_eid")))
     return h.join(groups, "fingerprint").select(
         "eid", "fingerprint",
         F.col("group_size"),
         (F.col("group_size") > 1).cast("int").alias("is_duplicate"),
-        (F.col("eid") == F.col("_min_eid")).cast("int").alias("keep"),
+        (F.col("eid") == F.col("_keep_eid")).cast("int").alias("keep"),
     )
 
 

@@ -81,6 +81,8 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
                           k: int = 32, bands: int = 8, shingle_size: int = 3,
                           jaccard_threshold: float = 0.5,
                           max_bucket: int | None = 1000,
+                          ranks: DataFrame | None = None,
+                          rank_col: str = "rank",
                           ckpt: CheckpointManager | None = None,
                           fingerprint: str = "") -> DataFrame:
     """The full training-data cleaning pass in one call — every input
@@ -113,6 +115,15 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
     (uncapped) enumeration at test scale, or route hot buckets through
     the salted enumerator via ``lsh_candidate_pairs(salted_chunk=...)``
     when capped recall loss is unacceptable.
+
+    ``ranks`` (optional, (id_col, rank_col) numeric): tiered survivor
+    policy end-to-end — every dedup stage (url groups, exact groups,
+    near-dup clusters) keeps its HIGHEST-ranked member (ties and
+    unranked members sort last, break to min id) instead of the min-id
+    default, so the pipeline retains the best-quality / highest-tier
+    copy of each duplicate group. Note the survivor choice feeds the
+    downstream stages: the copy that proceeds to the quality gate and
+    the near-dup shuffle is the tiered survivor, not the min-id one.
     """
     from .functions import analysis as A
     from .functions import urls as U
@@ -122,10 +133,13 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
 
     d = docs.select(F.col(id_col).alias("eid"), F.col(text_col).alias("text"),
                     *([F.col(url_col).alias("url")] if url_col else []))
+    rk = (ranks.select(F.col(id_col).alias("eid"),
+                       F.col(rank_col).cast("double").alias("rank"))
+          if ranks is not None else None)
     drops = []
 
     if url_col:
-        ud = U.url_dedup(d, id_col="eid", url_col="url")
+        ud = U.url_dedup(d, id_col="eid", url_col="url", ranks=rk)
         drops.append(ud.where(F.col("is_dup") == 1).select(
             "eid", F.lit("url_dup").alias("status"),
             F.col("survivor").cast("long").alias("survivor")))
@@ -135,7 +149,7 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
                          ud.where(F.col("is_dup") == 0).select("eid"), "eid"),
                      fingerprint)
 
-    ed = DD.exact_dedup(d, id_col="eid", text_col="text")
+    ed = DD.exact_dedup(d, id_col="eid", text_col="text", ranks=rk)
     drops.append(ed.where(F.col("keep") == 0).join(
         ed.where(F.col("keep") == 1).select(
             "fingerprint", F.col("eid").alias("survivor")), "fingerprint")
@@ -165,12 +179,24 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
                                  id_col="eid", text_col="text")
     clusters = CL.connected_components(
         verified.select("id1", "id2"), nodes=d.select("eid"))
-    drops.append(clusters.where(F.col("cluster_id") != F.col("eid")).select(
-        "eid", F.lit("near_dup").alias("status"),
-        F.col("cluster_id").cast("long").alias("survivor")))
-    kept = clusters.where(F.col("cluster_id") == F.col("eid")).select(
-        "eid", F.lit("kept").alias("status"),
-        F.col("eid").cast("long").alias("survivor"))
+    if rk is not None:
+        # tiered representative: best-ranked cluster member, not the
+        # CC label (which is the cluster-min id by construction)
+        reps = DD.cluster_survivors(clusters, rk)
+        drops.append(reps.where(F.col("is_survivor") == 0).select(
+            "eid", F.lit("near_dup").alias("status"),
+            F.col("survivor").cast("long").alias("survivor")))
+        kept = reps.where(F.col("is_survivor") == 1).select(
+            "eid", F.lit("kept").alias("status"),
+            F.col("eid").cast("long").alias("survivor"))
+    else:
+        drops.append(clusters.where(
+            F.col("cluster_id") != F.col("eid")).select(
+            "eid", F.lit("near_dup").alias("status"),
+            F.col("cluster_id").cast("long").alias("survivor")))
+        kept = clusters.where(F.col("cluster_id") == F.col("eid")).select(
+            "eid", F.lit("kept").alias("status"),
+            F.col("eid").cast("long").alias("survivor"))
 
     out = kept
     for dr in drops:

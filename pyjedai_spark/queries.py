@@ -627,6 +627,31 @@ def q_corpus_clean(spark, sf_dir):
     return out.select(F.col("eid").alias("doc_id"), "status", "survivor")
 
 
+def q_corpus_clean_tiered(spark, sf_dir):
+    """corpus_clean with the tiered survivor policy end-to-end: every
+    dedup stage (url groups, exact groups, near-dup clusters) keeps its
+    highest-quality member (quality_score desc, tie min id) instead of
+    the min id — and the copy that PROCEEDS downstream is the tiered
+    survivor, so the quality-gate and near-dup stages see different
+    rows than the min-id pipeline where it matters."""
+    from pyjedai_spark.pipeline import corpus_clean_pipeline
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        F.concat(
+            F.lit("HTTPS://"), F.upper("source"),
+            F.lit(".example.com:443/Crawl/"),
+            (F.col("doc_id") % 50).cast("string"), F.lit("/"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("?utm_source=feed&b=2&a=1#frag"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2"))
+            .otherwise(F.lit(""))).alias("url"))
+    rk = A.quality_score(docs).select(
+        F.col("eid").alias("doc_id"), F.col("quality_score").alias("rank"))
+    out = corpus_clean_pipeline(docs, url_col="url", max_bucket=None,
+                                ranks=rk)
+    return out.select(F.col("eid").alias("doc_id"), "status", "survivor")
+
+
 def q_streaming_reconciled(spark, sf_dir):
     """Streaming incremental clean (3 arrival-ordered micro-batches
     through ``process_clean_increment``) followed by the periodic
@@ -1676,6 +1701,7 @@ QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "tiered_exact_dedup": q_tiered_exact_dedup,
     "tiered_near_dup": q_tiered_near_dup,
+    "corpus_clean_tiered": q_corpus_clean_tiered,
     "simhash_signatures": q_simhash_signatures,
     "simhash_pairs": q_simhash_pairs,
     "substring_dedup": q_substring_dedup,
@@ -2570,6 +2596,109 @@ SELECT doc_id, 'near_dup', CAST(cluster_id AS BIGINT) FROM nd_drop"""
     # the reconciled streaming state must equal the batch pipeline
     # bit-for-bit — same oracle, no weaker claim
     o["streaming_reconciled"] = o["corpus_clean"]
+
+    # tiered variant: every stage's survivor = highest quality_score
+    # (tie min id), and the survivor is what proceeds downstream —
+    # rem1/rem2 follow the tiered pick, mirroring the Spark pipeline
+    o["corpus_clean_tiered"] = f"""WITH RECURSIVE {_quality_sql()},
+raw AS (
+  SELECT doc_id,
+         'HTTPS://' || upper(source) || '.example.com:443/Crawl/'
+         || CAST(doc_id % 50 AS VARCHAR) || '/'
+         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1#frag'
+                 WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END AS url
+  FROM documents),
+cn AS (
+  SELECT doc_id,
+    (CASE WHEN scheme <> '' THEN scheme || '://' ELSE '' END) || host || path
+    || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS url_canon
+  FROM (SELECT doc_id, scheme, host, path,
+          array_to_string(list_sort(list_filter(string_split(q, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') AS qs
+        FROM (SELECT doc_id,
+                lower(regexp_extract(url, {_URL_PAT}, 1)) AS scheme,
+                regexp_replace(lower(regexp_extract(url, {_URL_PAT}, 2)),
+                               ':(80|443)$', '') AS host,
+                regexp_replace(regexp_extract(url, {_URL_PAT}, 3),
+                               '/+$', '') AS path,
+                regexp_extract(url, {_URL_PAT}, 4) AS q
+              FROM raw))),
+usurv AS (
+  SELECT DISTINCT url_canon,
+         first_value(doc_id) OVER (PARTITION BY url_canon
+                                   ORDER BY r DESC, doc_id) AS survivor
+  FROM (SELECT c.doc_id, c.url_canon,
+               coalesce(q.quality_score, -1e308) AS r
+        FROM cn c LEFT JOIN qsc q ON q.doc_id = c.doc_id)),
+url_drop AS (
+  SELECT c.doc_id, s.survivor FROM cn c
+  JOIN usurv s ON s.url_canon = c.url_canon WHERE c.doc_id <> s.survivor),
+rem1 AS (
+  SELECT c.doc_id FROM cn c
+  JOIN usurv s ON s.url_canon = c.url_canon WHERE c.doc_id = s.survivor),
+eh AS (
+  SELECT d.doc_id,
+         md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS fp
+  FROM documents d JOIN rem1 ON rem1.doc_id = d.doc_id),
+es AS (
+  SELECT DISTINCT fp,
+         first_value(doc_id) OVER (PARTITION BY fp
+                                   ORDER BY r DESC, doc_id) AS m
+  FROM (SELECT eh.doc_id, eh.fp, coalesce(q.quality_score, -1e308) AS r
+        FROM eh LEFT JOIN qsc q ON q.doc_id = eh.doc_id)),
+exact_drop AS (
+  SELECT eh.doc_id, es.m FROM eh JOIN es ON es.fp = eh.fp
+  WHERE eh.doc_id <> es.m),
+rem2 AS (SELECT doc_id FROM eh JOIN es ON es.fp = eh.fp WHERE doc_id = m),
+g_src AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN rem2 ON rem2.doc_id = d.doc_id),
+{_gopher_sql('g_src')},
+q_drop AS (SELECT doc_id FROM g_pass WHERE passes = 0),
+rem3 AS (SELECT doc_id FROM g_pass WHERE passes = 1),
+{_tokhash_sql(3)},
+{_minhash_sig_sql(32)},
+{_bands_sql(8, 4)},
+ccand AS (
+  SELECT DISTINCT a.eid AS id1, b.eid AS id2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.eid < b.eid
+  JOIN rem3 r1 ON r1.doc_id = a.eid JOIN rem3 r2 ON r2.doc_id = b.eid),
+cver AS (
+  SELECT id1, id2 FROM (
+    SELECT c.id1, c.id2,
+           round(len(list_intersect(x.sl, y.sl)) * 1.0
+                 / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl))), 6)
+           AS jaccard
+    FROM ccand c JOIN hx x ON x.eid = c.id1 JOIN hx y ON y.eid = c.id2)
+  WHERE jaccard >= 0.5),
+{_cc_sql('cver')},
+clus AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+rep AS (
+  SELECT DISTINCT cluster_id,
+         first_value(doc_id) OVER (PARTITION BY cluster_id
+                                   ORDER BY r DESC, doc_id) AS rep_id
+  FROM (SELECT c.doc_id, c.cluster_id,
+               coalesce(q.quality_score, -1e308) AS r
+        FROM clus c JOIN rem3 ON rem3.doc_id = c.doc_id
+        LEFT JOIN qsc q ON q.doc_id = c.doc_id)),
+nd_drop AS (
+  SELECT c.doc_id, p.rep_id FROM clus c
+  JOIN rem3 ON rem3.doc_id = c.doc_id
+  JOIN rep p ON p.cluster_id = c.cluster_id WHERE c.doc_id <> p.rep_id),
+kept AS (
+  SELECT c.doc_id FROM clus c
+  JOIN rem3 ON rem3.doc_id = c.doc_id
+  JOIN rep p ON p.cluster_id = c.cluster_id WHERE c.doc_id = p.rep_id)
+SELECT doc_id, 'kept' AS status, CAST(doc_id AS BIGINT) AS survivor FROM kept
+UNION ALL
+SELECT doc_id, 'url_dup', CAST(survivor AS BIGINT) FROM url_drop
+UNION ALL
+SELECT doc_id, 'exact_dup', CAST(m AS BIGINT) FROM exact_drop
+UNION ALL
+SELECT doc_id, 'low_quality', CAST(NULL AS BIGINT) FROM q_drop
+UNION ALL
+SELECT doc_id, 'near_dup', CAST(rep_id AS BIGINT) FROM nd_drop"""
 
     # spatial ER: shared envelope-synthesis + equigrid CTEs; cell
     # indexing is range-EXCLUSIVE at the ceil bound (reference
@@ -4427,7 +4556,7 @@ _DRIVER_PRIORITY = [
     # /corpus chains), the media_features hashable projection, the
     # sb_block_stats empty-input oracle fix, null-text streaming
     # fingerprints
-    "tiered_exact_dedup", "tiered_near_dup",
+    "tiered_exact_dedup", "tiered_near_dup", "corpus_clean_tiered",
     "workflow_report", "schema_clustering", "schema_clustered_er",
     "rdf_predicate_docs", "rdf_predicate_clusters", "rdf_subject_er",
     "spatial_relations", "spatial_relation_stats",

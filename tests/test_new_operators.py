@@ -509,3 +509,59 @@ def test_cluster_survivors_matches_naive_window(spark):
                      (F.col("eid") == F.col("survivor")).cast("int")
                      .alias("is_survivor")))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_corpus_clean_tiered_survivors(spark):
+    """ranks= switches every dedup stage to keep-the-best-ranked: the
+    url group and the near-dup cluster each keep their HIGHER-ranked
+    (here: non-min-id) member, and the tiered survivor is what
+    proceeds downstream."""
+    from pyjedai_spark.pipeline import corpus_clean_pipeline
+    base = ("the quick brown fox jumps over that lazy dog with good text "
+            * 10).strip()
+    rows = [
+        (0, base, "https://a.com/p?x=1"),
+        (1, base, "HTTPS://A.COM:443/p/?x=1#frag"),   # url dup of 0
+        (2, base, "https://b.com/p"),                  # exact dup
+        (3, base + " plus tail", "https://c.com/p"),   # near dup
+        (4, "x y z", "https://d.com/p"),               # fails gopher
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    # rank doc 1 above 0 (url group), doc 3 above the exact-survivor
+    ranks = spark.createDataFrame(
+        [(0, 0.1), (1, 0.9), (2, 0.5), (3, 0.8), (4, 0.2)],
+        "doc_id long, rank double")
+    out = {r["eid"]: (r["status"], r["survivor"])
+           for r in corpus_clean_pipeline(docs, url_col="url",
+                                          ranks=ranks).collect()}
+    # url group {0,1}: 1 wins (0.9 > 0.1) and proceeds
+    assert out[0] == ("url_dup", 1)
+    # exact group {1,2}: 1 wins (0.9 > 0.5)
+    assert out[2] == ("exact_dup", 1)
+    # near-dup cluster {1,3}: 1 wins (0.9 > 0.8)
+    assert out[1] == ("kept", 1)
+    assert out[3] == ("near_dup", 1)
+    assert out[4][0] == "low_quality" and out[4][1] is None
+    assert len(out) == 5
+
+
+def test_corpus_clean_tiered_all_tied_equals_default(spark):
+    """With a constant rank the tiered pipeline degrades to the min-id
+    default bit-for-bit."""
+    from pyjedai_spark.pipeline import corpus_clean_pipeline
+    base = ("the quick brown fox jumps over that lazy dog with good text "
+            * 10).strip()
+    rows = [
+        (0, base, "https://a.com/p?x=1"),
+        (1, base, "HTTPS://A.COM:443/p/?x=1#frag"),
+        (2, base, "https://b.com/p"),
+        (3, base + " plus tail", "https://c.com/p"),
+        (4, "x y z", "https://d.com/p"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    ranks = docs.select("doc_id", F.lit(1.0).alias("rank"))
+    tiered = sorted(map(tuple, corpus_clean_pipeline(
+        docs, url_col="url", ranks=ranks).collect()))
+    default = sorted(map(tuple, corpus_clean_pipeline(
+        docs, url_col="url").collect()))
+    assert tiered == default
