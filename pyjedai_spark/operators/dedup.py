@@ -87,14 +87,22 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
         groups = h.groupBy("fingerprint").agg(
             F.count("*").alias("group_size"), F.min("eid").alias("_keep_eid"))
     else:
-        r = ranks.select(F.col(id_col).alias("eid"),
-                         F.col(rank_col).cast("double").alias("_rank"))
+        # dedupe ranks to one row per eid BEFORE the join: a duplicate
+        # id in ranks would otherwise multiply its doc's h row and
+        # inflate group_size (flipping is_duplicate for singletons)
+        r = (ranks.select(F.col(id_col).alias("eid"),
+                          F.col(rank_col).cast("double").alias("_rank"))
+             .groupBy("eid").agg(F.max("_rank").alias("_rank")))
+        # min(struct(-rank, eid)): highest rank wins, ties (and
+        # unranked, -(-inf) = +inf sorts last) break to MIN eid —
+        # id-type-generic, unlike max(struct(rank, -eid)) which needs
+        # a negatable (numeric) id
+        nk = -F.coalesce(F.col("_rank"), F.lit(float("-inf")))
         groups = (
             h.join(r, "eid", "left").groupBy("fingerprint")
             .agg(F.count("*").alias("group_size"),
-                 F.max(F.struct(
-                     F.coalesce("_rank", F.lit(float("-inf"))).alias("k"),
-                     (-F.col("eid")).alias("ni"),
+                 F.min(F.struct(
+                     nk.alias("nk"),
                      F.col("eid").alias("best"))).alias("_b"))
             .select("fingerprint", "group_size",
                     F.col("_b.best").alias("_keep_eid")))
@@ -474,22 +482,30 @@ def cluster_survivors(members: DataFrame, ranks: DataFrame,
     ``exact_dedup``/``minhash_dedup_pipeline``/``corpus_clean_pipeline``
     output by feeding their cluster columns in as ``members``.
 
-    Scale: groupBy(cluster).agg(max(struct(rank_key, -id, id))) is a
+    Scale: groupBy(cluster).agg(min(struct(-rank_key, id))) is a
     map-side-combining aggregate (one row per cluster per map task —
     a 10^8-member boilerplate cluster never funnels through one window
     task), then one hash-join back on the cluster key; both shuffles
-    are on the cluster key only.
+    are on the cluster key only. Ids may be any orderable type (string
+    urls included): min-struct needs no negated-id tie-break, and the
+    ids are never cast.
     """
-    m = members.select(F.col(id_col).cast("long").alias("eid"),
+    m = members.select(F.col(id_col).alias("eid"),
                        F.col(cluster_col).alias("cluster_id"))
-    r = ranks.select(F.col(id_col).cast("long").alias("eid"),
-                     F.col(rank_col).cast("double").alias("_rank"))
+    # one rank per id (a duplicated ranks row must not duplicate the
+    # member row through the join): best rank per eid wins
+    r = (ranks.select(F.col(id_col).alias("eid"),
+                      F.col(rank_col).cast("double").alias("_rank"))
+         .groupBy("eid")
+         .agg((F.max("_rank") if descending else F.min("_rank"))
+              .alias("_rank")))
     j = m.join(r, "eid", "left")
     key = F.col("_rank") if descending else -F.col("_rank")
-    key = F.coalesce(key, F.lit(float("-inf")))
+    # negate so MIN-struct picks the best rank; unranked -(-inf) = +inf
+    # sorts last; the struct's second field gives the min-id tie-break
+    nk = -F.coalesce(key, F.lit(float("-inf")))
     best = j.groupBy("cluster_id").agg(
-        F.max(F.struct(key.alias("k"),
-                       (-F.col("eid")).alias("ni"),
+        F.min(F.struct(nk.alias("nk"),
                        F.col("eid").alias("best_eid"))).alias("_b"))
     return (
         m.join(best, "cluster_id")

@@ -2069,7 +2069,7 @@ SELECT 'best-der-workflow' AS workflow, stage_idx, stage, n_rows, tp,
 FROM stats, tot"""
 
     o["exact_dedup"] = """WITH h AS (
-  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+  SELECT doc_id, md5(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS fingerprint
   FROM documents)
 SELECT doc_id, fingerprint,
        count(*) OVER (PARTITION BY fingerprint) AS group_size,
@@ -2317,10 +2317,10 @@ FROM qsc"""
 
     # tiered dedup: survivor = best-quality member per cluster (tie ->
     # min id; unranked/NULL quality sorts last) — the window mirrors
-    # cluster_survivors' max(struct(rank, -id)) aggregate
+    # cluster_survivors' min(struct(-rank, id)) aggregate
     o["tiered_exact_dedup"] = f"""WITH {_quality_sql()},
 th AS (
-  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS cluster_id
+  SELECT doc_id, md5(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS cluster_id
   FROM documents),
 tm AS (
   SELECT th.doc_id, th.cluster_id,
@@ -2547,7 +2547,7 @@ rem1 AS (
   JOIN usurv s ON s.url_canon = c.url_canon WHERE c.doc_id = s.survivor),
 eh AS (
   SELECT d.doc_id,
-         md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS fp
+         md5(lower(regexp_replace(coalesce(d.text, ''), '\\s+', ' ', 'g'))) AS fp
   FROM documents d JOIN rem1 ON rem1.doc_id = d.doc_id),
 es AS (SELECT fp, min(doc_id) AS m FROM eh GROUP BY fp),
 exact_drop AS (
@@ -2639,7 +2639,7 @@ rem1 AS (
   JOIN usurv s ON s.url_canon = c.url_canon WHERE c.doc_id = s.survivor),
 eh AS (
   SELECT d.doc_id,
-         md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS fp
+         md5(lower(regexp_replace(coalesce(d.text, ''), '\\s+', ' ', 'g'))) AS fp
   FROM documents d JOIN rem1 ON rem1.doc_id = d.doc_id),
 es AS (
   SELECT DISTINCT fp,
@@ -3528,7 +3528,7 @@ FROM documents d LEFT JOIN pv ON pv.doc_id = d.doc_id"""
 
     o["source_stats"] = """WITH d AS (
   SELECT source, doc_id,
-         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+         md5(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS fingerprint,
          len(text) AS l
   FROM documents),
 fc AS (SELECT fingerprint, count(*) AS c FROM d GROUP BY fingerprint)

@@ -487,6 +487,51 @@ def test_cluster_survivors_all_tied_degrades_to_min_id(spark):
     assert out == {9: 4, 4: 4, 7: 4, 12: 12}
 
 
+def test_cluster_survivors_string_ids(spark):
+    """Non-numeric ids (urls) must survive intact — no silent long
+    cast to NULL (r4 ADVICE). Tie-break is min on the STRING order."""
+    from pyjedai_spark.operators import dedup as DD
+    members = spark.createDataFrame(
+        [("u/b", 1), ("u/a", 1), ("u/c", 1), ("u/z", 2)],
+        "eid string, cluster_id int")
+    ranks = spark.createDataFrame(
+        [("u/b", 0.9), ("u/a", 0.9), ("u/c", 0.1)],
+        "eid string, rank double")
+    out = {r["eid"]: (r["survivor"], r["is_survivor"])
+           for r in DD.cluster_survivors(members, ranks).collect()}
+    assert out == {"u/a": ("u/a", 1), "u/b": ("u/a", 0),
+                   "u/c": ("u/a", 0), "u/z": ("u/z", 1)}
+
+
+def test_cluster_survivors_duplicate_ranks_rows(spark):
+    """A duplicated ranks row must not duplicate member rows through
+    the join (r4 ADVICE): output stays one row per member."""
+    from pyjedai_spark.operators import dedup as DD
+    members = spark.createDataFrame(
+        [(1, "a"), (2, "a")], "eid long, cluster_id string")
+    ranks = spark.createDataFrame(
+        [(2, 0.3), (2, 0.9), (1, 0.5)], "eid long, rank double")
+    rows = DD.cluster_survivors(members, ranks).collect()
+    assert len(rows) == 2
+    out = {r["eid"]: r["survivor"] for r in rows}
+    assert out == {1: 2, 2: 2}  # max duplicate rank (0.9) wins
+
+
+def test_exact_dedup_duplicate_ranks_no_group_size_inflation(spark):
+    """r4 ADVICE: duplicate ids in ranks inflated group_size in the
+    ranked path, flipping is_duplicate for true singletons."""
+    from pyjedai_spark.operators import dedup as DD
+    docs = spark.createDataFrame(
+        [(1, "solo text"), (2, "twin"), (3, "twin")],
+        "doc_id long, text string")
+    ranks = spark.createDataFrame(
+        [(1, 0.5), (1, 0.7), (3, 0.9)], "doc_id long, rank double")
+    out = {r["eid"]: (r["group_size"], r["is_duplicate"], r["keep"])
+           for r in DD.exact_dedup(docs, ranks=ranks).collect()}
+    assert out[1] == (1, 0, 1)  # singleton stays a singleton
+    assert out[2] == (2, 1, 0) and out[3] == (2, 1, 1)  # ranked survivor
+
+
 def test_cluster_survivors_matches_naive_window(spark):
     """Property: the map-side-combining aggregate equals the naive
     row_number window on a pseudo-random instance."""
