@@ -3138,7 +3138,7 @@ se_blk AS (
            sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)
                OVER (PARTITION BY cluster_id, tok) AS n2
     FROM se_tok)
-  WHERE n1 >= 1 AND n2 >= 1),
+  WHERE n1 >= 1 AND n2 >= 1 AND n1 + n2 <= 1000),
 se_pairs AS (
   SELECT DISTINCT a.cluster_id, a.eid AS id1, b.eid AS id2
   FROM se_blk a JOIN se_blk b
@@ -3357,7 +3357,7 @@ rs_blk AS (
            sum(CASE WHEN side = 2 THEN 1 ELSE 0 END)
                OVER (PARTITION BY cluster_id, tok) AS n2
     FROM rs_tok)
-  WHERE n1 >= 1 AND n2 >= 1),
+  WHERE n1 >= 1 AND n2 >= 1 AND n1 + n2 <= 1000),
 rs_fc AS (
   SELECT cluster_id, tok,
          (sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
