@@ -1266,22 +1266,67 @@ def _dirty_matches(spark, sf_dir):
                              round_to=6).localCheckpoint()
 
 
+def _component_stats(out, m, check_refinement=True):
+    """Deterministic projection of an order/float-dependent clusterer
+    for the driver oracle (r4 verdict item 7): per connected component
+    of the thresholded match graph — docs assigned (partition property:
+    must equal the component size), assignment rows (no duplicate
+    assignments), and with ``check_refinement`` the count of clusters
+    leaking across components (always 0 for cut/ricochet/markov, whose
+    moves only ever follow edges). These hold for ANY correct run
+    regardless of pivot/iteration order, so a DuckDB recursive-CTE CC
+    reproduces them exactly; the cluster ASSIGNMENTS themselves stay
+    order-dependent and are pinned by pytest toy tests instead. A node
+    the clusterer invents (absent from the graph) lands in comp_id -1
+    and mismatches; a dropped node shrinks n_docs and mismatches.
+
+    ``check_refinement=False`` for CorrelationClustering: its objective
+    scores NON-edges (sim 0 < non_similarity_threshold) as dissimilar,
+    so evicting a weakly-attached node from its component's cluster
+    into a foreign cluster can strictly improve the objective —
+    cross-component clusters are legitimate outputs of the reference's
+    move semantics, not a defect (found BY this check at sf0.01)."""
+    comp = CL.connected_components(m.select("id1", "id2")).select(
+        F.col("eid").alias("doc_id"), F.col("cluster_id").alias("comp_id"))
+    j = out.join(comp, "doc_id", "left").withColumn(
+        "comp_id", F.coalesce("comp_id", F.lit(-1)))
+    stats = j.groupBy("comp_id").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_rows"))
+    if not check_refinement:
+        return stats
+    span = (j.groupBy("cluster_id")
+            .agg(F.countDistinct("comp_id").alias("_nc"),
+                 F.min("comp_id").alias("comp_id"))
+            .where(F.col("_nc") > 1)
+            .groupBy("comp_id").agg(F.count("*").alias("_sp")))
+    return (stats.join(span, "comp_id", "left")
+            .select("comp_id", "n_docs", "n_rows",
+                    F.coalesce(F.col("_sp"), F.lit(0)).cast("long")
+                    .alias("spanning_clusters")))
+
+
 def q_cut_clustering(spark, sf_dir):
-    m = _dirty_matches(spark, sf_dir)
-    return CL.cut_clustering(m, similarity_threshold=0.55).select(
+    m = _dirty_matches(spark, sf_dir).where(F.col("sim") > 0.9)
+    out = CL.cut_clustering(m, similarity_threshold=0.55).select(
         F.col("eid").alias("doc_id"), "cluster_id")
+    return _component_stats(out, m)
 
 
 def q_correlation_clustering(spark, sf_dir):
-    m = _dirty_matches(spark, sf_dir)
-    return CL.correlation_clustering(m).select(
+    # > 0.9: sparser graph -> multiple components, so the invariant
+    # projection has real multi-row grain at the driver's gate scale
+    m = _dirty_matches(spark, sf_dir).where(F.col("sim") > 0.9)
+    out = CL.correlation_clustering(m).select(
         F.col("eid").alias("doc_id"), "cluster_id")
+    return _component_stats(out, m, check_refinement=False)
 
 
 def q_ricochet_clustering(spark, sf_dir):
-    m = _dirty_matches(spark, sf_dir)
-    return CL.ricochet_sr_clustering(m, similarity_threshold=0.55).select(
+    m = _dirty_matches(spark, sf_dir).where(F.col("sim") > 0.9)
+    out = CL.ricochet_sr_clustering(m, similarity_threshold=0.55).select(
         F.col("eid").alias("doc_id"), "cluster_id")
+    return _component_stats(out, m)
 
 
 def q_kiraly_clustering(spark, sf_dir):
@@ -1307,9 +1352,11 @@ def q_markov_clustering(spark, sf_dir):
     # inflate the matmul; pruning keeps the iterate sparse (the at-scale
     # configuration; documented delta from the reference's dense float
     # matrix, which this rows-only check does not hash against)
-    out = CL.markov_clustering(m.localCheckpoint(), similarity_threshold=0.55,
+    m = m.where(F.col("sim") > 0.9).localCheckpoint()
+    out = CL.markov_clustering(m, similarity_threshold=0.55,
                                prune_below=1e-6)
-    return out.select(F.col("eid").alias("doc_id"), "cluster_id")
+    return _component_stats(
+        out.select(F.col("eid").alias("doc_id"), "cluster_id"), m)
 
 
 def q_ccer_unique_mapping(spark, sf_dir):
@@ -1975,6 +2022,38 @@ SELECT id1, id2, sim FROM mt"""
 {_matching_cosine_sql('cnp', 0.55, 'mt')},
 {_cc_sql('mt')}
 SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u"""
+
+    # order/float-dependent clusterers (cut/correlation/ricochet/
+    # markov): the driver checks the deterministic _component_stats
+    # projection — per component of the SAME thresholded match graph,
+    # the partition (n_docs = component size, n_rows = n_docs) and
+    # refinement (spanning_clusters = 0) invariants every correct run
+    # satisfies regardless of pivot/iteration order. _cc_sql seeds
+    # reach with ALL docs; HAVING >= 2 keeps exactly the edge-endpoint
+    # components (every mt node has an edge; singleton components are
+    # matchless docs the Spark side never sees).
+    o["cut_clustering"] = f"""WITH RECURSIVE {SB},
+{_cnp_sql('sb', 'cnp', 'JS')},
+{_matching_cosine_sql('cnp', 0.9, 'mt')},
+{_cc_sql('mt')},
+cpr AS (SELECT u, min(v) AS comp_id FROM reach GROUP BY u)
+SELECT comp_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS spanning_clusters
+FROM cpr GROUP BY comp_id HAVING count(*) >= 2"""
+    o["ricochet_clustering"] = o["cut_clustering"]
+    o["markov_clustering"] = o["cut_clustering"]
+    # correlation: partition property only — its move semantics
+    # legitimately produce cross-component clusters (see
+    # _component_stats docstring)
+    o["correlation_clustering"] = f"""WITH RECURSIVE {SB},
+{_cnp_sql('sb', 'cnp', 'JS')},
+{_matching_cosine_sql('cnp', 0.9, 'mt')},
+{_cc_sql('mt')},
+cpr AS (SELECT u, min(v) AS comp_id FROM reach GROUP BY u)
+SELECT comp_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM cpr GROUP BY comp_id HAVING count(*) >= 2"""
 
     # workflow_report: the best-DER chain's per-stage pair sets scored
     # against the exact 3-shingle-jaccard GT (same GT fragment as
@@ -4551,32 +4630,30 @@ ORACLES = _build_oracles()
 # driver never saw, so every query accumulates a driver CORRECTNESS row
 # across rounds; long-green unchanged queries move to the tail.
 _DRIVER_PRIORITY = [
-    # new or behavior-touched in round 4: schema clustering, the DE-9IM
-    # relation layer, the fused clean_blocks path (meta_cnp/cnp/flagship
-    # /corpus chains), the media_features hashable projection, the
-    # sb_block_stats empty-input oracle fix, null-text streaming
-    # fingerprints
+    # behavior-touched in round 5: the tiered survivor pick
+    # (min-struct rewrite + rank dedupe), every md5-fingerprint oracle
+    # (NULL-text coalesce), the de-skewed/capped batched schema ER
     "tiered_exact_dedup", "tiered_near_dup", "corpus_clean_tiered",
-    "workflow_report", "schema_clustering", "schema_clustered_er",
+    "exact_dedup", "doc_fingerprint", "source_stats", "corpus_clean",
+    "streaming_reconciled", "schema_clustering", "schema_clustered_er",
     "rdf_predicate_docs", "rdf_predicate_clusters", "rdf_subject_er",
-    "spatial_relations", "spatial_relation_stats",
-    "media_features", "meta_cnp_cleaned", "cnp_js", "der_dedup_clusters",
-    "corpus_clean", "streaming_reconciled", "gopher_quality",
-    "sb_block_stats",
-    # last green driver row is r01 (VERDICT r03 item 7: every
-    # oracle-backed query should have a row within the last two rounds)
-    "blast_cosine", "block_filtering", "block_purging", "cep_js",
-    "comparison_propagation", "doc_fingerprint", "entity_matching_cosine",
-    "ext_qgrams_blocking", "ext_suffix_blocking", "lang_id",
-    "minhash_bands", "ngram_jaccard", "qgrams_blocking", "quality_score",
-    "rcnp_js", "rwnp_js", "sb_blocks", "simhash_signatures",
-    "suffix_blocking", "token_count", "wep_cbs", "wep_ecbs", "wep_ejs",
-    "wep_js", "wep_x2", "wnp_cbs",
-    # r02-stale fillers up to the driver's 50-query cap
+    # the 31 queries whose most recent driver row is r01/r02 (r04
+    # verdict item 4 — computed from CORRECTNESS_r01-r04.json): the
+    # full ccer_* family, em_* kernels, progressive suite, sorted
+    # neighborhood, greedy matchers, joins
+    "ann_brute_topk", "audio_decode", "ccer_blast_x2", "ccer_blocks",
+    "ccer_cep_js", "ccer_cnp_js", "ccer_rcnp_cncbs",
+    "ccer_unique_mapping", "ccer_wep_ejs", "ccer_wep_x2", "em_dice",
+    "em_generalized_jaccard", "em_jaccard_quirk", "em_overlap",
+    "gpsn_acf", "gpsn_id", "lpsn_ncf", "meta_factory_wnp", "pcep_topk",
+    "pcnp_dfs", "pe_topk_join", "pes_hb", "progressive_auc",
+    "progressive_recall", "random_pm", "repetition_stats",
+    "row_column_clustering", "topk_join", "unique_mapping",
+    "unique_mapping_dist",
+    # flagship + headline guards (keep a fresh row every round)
+    "der_dedup_clusters", "meta_cnp_cleaned", "minhash_bands",
     "ejoin_cosine", "ann_ivf_topk", "webtext_minhash_clusters",
-    "ccer_best_chain", "markov_clustering", "unique_mapping", "topk_join",
-    "pe_topk_join", "progressive_recall", "repetition_stats",
-    "gpsn_acf", "audio_decode",
+    "ccer_best_chain",
 ]
 
 QUERIES = {

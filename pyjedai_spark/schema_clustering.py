@@ -240,7 +240,12 @@ def schema_clustered_er(d1: DataFrame, d2: DataFrame,
                  F.sum((F.col("side") == 2).cast("int")).alias("_n2"))
             .where(cond)
             .select("cluster_id", "tok"))
-    p = p.join(keys, ["cluster_id", "tok"], "left_semi")
+    # stage barrier: the kept postings feed BOTH sides of the pair join
+    # (and the keys aggregate builds on both probe subplans); without
+    # it Catalyst pushes the side filters below the semi join and
+    # re-tokenizes each branch — at cluster scale this materialization
+    # is the per-stage blocking checkpoint the pipeline writes anyway
+    p = p.join(keys, ["cluster_id", "tok"], "left_semi").localCheckpoint()
 
     a = p.where(F.col("side") == 1).select(
         "cluster_id", "tok", F.col("eid").alias("id1"))
@@ -521,7 +526,10 @@ def rdf_subject_er(t1: DataFrame, t2: DataFrame, clusters: DataFrame,
                  F.sum((F.col("side") == 2).cast("int")).alias("_n2"))
             .where(cond)
             .select("key"))
-    p = p.join(keys, "key", "left_semi").select("key", "eid", "side")
+    # stage barrier (same reason as schema_clustered_er: filtering +
+    # WNP reference the kept postings multiple times)
+    p = (p.join(keys, "key", "left_semi")
+         .select("key", "eid", "side").localCheckpoint())
     p = BC.block_filtering(p, filtering_ratio, dirty=False)
     e = X.ccer_wnp(p, weighting_scheme)
 
