@@ -59,9 +59,20 @@ def main() -> None:
     levels = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2
                                else "8,32").split(",")]
     corpus = build_corpus(n_docs)
+
+    # r5: same host-health gate as bench.py — rounds 3-4 lost their
+    # scaling measurement to hypervisor windows delivering ~2 of 32
+    # cores (the serial leg barely notices; the wide leg starves and
+    # the ratio collapses). Gate BEFORE each leg: a healthy pair needs
+    # the whole run healthy, not just its start.
+    from bench import _health_gate
+
     results = {}
     here = os.path.dirname(os.path.abspath(__file__))
+    gates = {}
     for cores in levels:
+        gates[cores] = _health_gate()
+        print(json.dumps({"gate_before_cores": cores, **gates[cores]}))
         out = subprocess.run(
             [sys.executable, os.path.join(here, "scaling_run.py"),
              corpus, str(cores)],
@@ -75,7 +86,9 @@ def main() -> None:
     print(json.dumps({"metric": "scaling_efficiency",
                       "from_cores": lo, "to_cores": hi,
                       "value": round(eff, 3),
-                      "threshold": 0.8, "pass": eff >= 0.8}))
+                      "threshold": 0.8, "pass": eff >= 0.8,
+                      "host_healthy_throughout":
+                          all(g["healthy"] for g in gates.values())}))
 
 
 if __name__ == "__main__":
