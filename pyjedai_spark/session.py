@@ -36,6 +36,15 @@ DEFAULT_CONFS = {
     # bottleneck that caps scaling (128 GiB box; leave room for Python
     # workers + page cache)
     "spark.driver.memory": "48g",
+    # the flagship DER chain + iterative CC emit well over 100 distinct
+    # whole-stage-codegen units per execution; the default 100-entry
+    # LRU thrashes, so EVERY execution regenerated+recompiled ~400
+    # classes (measured via ClassLoadingMXBean: classes_delta ~4585 on
+    # run 0 and ~400 on every later run, 13-20s compiler-thread time
+    # each) and hot loops kept restarting interpreted. A larger cache
+    # turns repeat executions of the same operators into cache hits —
+    # generated-class count and C2 churn drop after the first run.
+    "spark.sql.codegen.cache.maxEntries": "5000",
 }
 
 
