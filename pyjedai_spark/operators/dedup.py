@@ -21,6 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -114,18 +115,86 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# Per-Python-worker token->u32 cache for the Arrow signature kernel.
+# Webtext tokens are Zipfian, so the hit rate is high; capped so a
+# pathological vocabulary can't grow it unboundedly.
+_TOKEN_HASH_CACHE: dict = {}
+_TOKEN_HASH_CACHE_CAP = 4_000_000
+
+
+def _make_sig_udf(k: int):
+    """Vectorized Arrow kernel: array<string> tokens -> array<long>[k]
+    MinHash signature, bit-identical to the expression path (same md5
+    u32 token hash, same affine coeffs, same mod-P arithmetic; numpy
+    int64 is exact here because a <= 1e8 and h < 2^32 keep a*h+b below
+    2^63). Exists because the expression path's higher-order-function
+    fold is interpreted JVM code whose per-token array allocation makes
+    signature compute GC-bound — measured NOT scaling with cores
+    (2->8 cores gave only 1.2x on the 250k-doc corpus, r5 scaling
+    forensics in BENCH.md §3). This path moves the hot loop into numpy
+    inside per-core Python workers: no shared-heap GC coupling, and a
+    per-worker token-hash cache exploits the Zipfian token law."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = minhash_coeffs(k)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    empty_sig = [P] * k
+
+    @pandas_udf("array<long>")
+    def sig_udf(tok_series: pd.Series) -> pd.Series:  # noqa: F821
+        cache = _TOKEN_HASH_CACHE
+        md5 = hashlib.md5
+        out = []
+        for toks in tok_series:
+            if toks is None or len(toks) == 0:
+                out.append(empty_sig)
+                continue
+            hs = np.empty(len(toks), dtype=np.int64)
+            i = 0
+            for t in toks:
+                v = cache.get(t)
+                if v is None:
+                    v = int(md5(t.encode("utf-8", "surrogatepass"))
+                            .hexdigest()[:8], 16)
+                    if len(cache) < _TOKEN_HASH_CACHE_CAP:
+                        cache[t] = v
+                hs[i] = v
+                i += 1
+            out.append(((hs[:, None] * A + B) % P).min(axis=0))
+        return pd.Series(out)
+
+    return sig_udf
+
+
 def minhash_signatures(docs: DataFrame, k: int = 32, shingle_size: int = 1,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                       id_col: str = "doc_id", text_col: str = "text",
+                       impl: str | None = None) -> DataFrame:
     """(eid, sig array<long>[k]) MinHash signature over token (or
-    token-shingle) sets — one scan, all codegen; the per-hash min runs
-    as array_min(transform(...)), no explode, no shuffle."""
+    token-shingle) sets — one scan, no shuffle.
+
+    ``impl``: ``"arrow"`` (default) runs the hash+fold in a vectorized
+    numpy pandas_udf (see :func:`_make_sig_udf` — the expression fold
+    is GC-bound and does not scale with cores); ``"expr"`` keeps the
+    pure-column higher-order-function form (useful where Python
+    workers are unavailable). Both produce bit-identical signatures
+    (pinned by tests/test_new_operators.py)."""
+    import os as _os
+    impl = impl or _os.environ.get("PYJEDAI_MINHASH_IMPL", "arrow")
     toks = T.tokens(F.col(text_col))
     if shingle_size > 1:
         toks = F.array_distinct(
             T.word_shingles(T.tokens(F.col(text_col), distinct=False), shingle_size)
         )
-    hashed = T.token_hashes(toks)
     docs = ensure_parallelism(docs)
+    if impl == "arrow":
+        sig_udf = _make_sig_udf(k)
+        return docs.select(F.col(id_col).alias("eid"),
+                           sig_udf(toks).alias("sig"))
+    hashed = T.token_hashes(toks)
 
     # ALL k permutation minima in ONE fold over the token-hash array.
     # The naive form — k separate array_min(transform(hashed, perm_i)) —

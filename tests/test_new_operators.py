@@ -610,3 +610,33 @@ def test_corpus_clean_tiered_all_tied_equals_default(spark):
     default = sorted(map(tuple, corpus_clean_pipeline(
         docs, url_col="url").collect()))
     assert tiered == default
+
+
+def test_minhash_arrow_expr_bit_identical(spark, docs):
+    """The vectorized Arrow signature kernel (r5 scaling fix) must be
+    bit-identical to the expression fold on both token and shingle
+    paths — the DuckDB minhash oracles reproduce the EXPRESSION
+    arithmetic, so any drift here breaks the oracle gate."""
+    from pyjedai_spark.operators import dedup as DD
+
+    for shingle in (1, 3):
+        e = DD.minhash_signatures(docs, shingle_size=shingle, impl="expr") \
+            .withColumnRenamed("sig", "sig_e")
+        a = DD.minhash_signatures(docs, shingle_size=shingle, impl="arrow") \
+            .withColumnRenamed("sig", "sig_a")
+        j = e.join(a, "eid")
+        assert j.count() == docs.count()
+        assert j.filter(F.col("sig_e") != F.col("sig_a")).count() == 0
+
+
+def test_minhash_arrow_empty_doc_sentinel(spark):
+    """Empty/whitespace docs get the [P]*k sentinel signature in the
+    arrow path exactly as the expression fold's zero value does."""
+    from pyjedai_spark.operators import dedup as DD
+
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "real text")],
+                               "doc_id long, text string")
+    rows = {r["eid"]: r["sig"]
+            for r in DD.minhash_signatures(df, impl="arrow").collect()}
+    assert rows[1] == [DD.P] * 32 and rows[2] == [DD.P] * 32
+    assert rows[3] != [DD.P] * 32
