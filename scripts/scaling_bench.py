@@ -76,6 +76,23 @@ def main() -> None:
         import statistics
         return statistics.median(g["attempts"][-1]["calib_mb_s"])
 
+    # A pair is only a measurement of the ENGINE if the host can
+    # actually grant the upper leg's cores: with the hypervisor
+    # delivering ~14 effective cores, an 8->32 pair has a hard
+    # ceiling of (14/8)/4 = 0.44 efficiency regardless of engine
+    # quality (measured: 0.34 at calib drift 1.01). Probe first and
+    # warn if hi exceeds the budget.
+    probe = _health_gate()
+    eff_cores = probe["attempts"][-1].get("effective_cores", 32)
+    if max(levels) > eff_cores:
+        print(json.dumps({
+            "warning": "upper leg exceeds host effective-core budget",
+            "levels": levels, "effective_cores": eff_cores,
+            "efficiency_ceiling":
+                round(eff_cores / max(levels), 3),
+            "hint": "pick levels with hi <= effective_cores, "
+                    "e.g. 2,8 or 4,16"}))
+
     ref_calib = None
     for cores in levels:
         # a scaling PAIR is only valid if both legs see the same
