@@ -21,7 +21,6 @@ Scale design:
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -116,27 +115,31 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 
 # Per-Python-worker token->u32 cache for the Arrow signature kernel.
-# Webtext tokens are Zipfian, so the hit rate is high; capped so a
-# pathological vocabulary can't grow it unboundedly.
+# Webtext TOKENS are Zipfian, so the hit rate is high; shingle keys
+# (shingle_size > 1, low reuse) skip the cache — caching them would pin
+# hundreds of MB per reused worker for near-zero hit rate (r5 ADVICE).
 _TOKEN_HASH_CACHE: dict = {}
 _TOKEN_HASH_CACHE_CAP = 4_000_000
 
 
-def _make_sig_udf(k: int):
+def _make_sig_udf(k: int, use_cache: bool = True):
     """Vectorized Arrow kernel: array<string> tokens -> array<long>[k]
     MinHash signature, bit-identical to the expression path (same md5
     u32 token hash, same affine coeffs, same mod-P arithmetic; numpy
     int64 is exact here because a <= 1e8 and h < 2^32 keep a*h+b below
-    2^63). Exists because the expression path's higher-order-function
-    fold is interpreted JVM code whose per-token array allocation makes
-    signature compute GC-bound — measured NOT scaling with cores
-    (2->8 cores gave only 1.2x on the 250k-doc corpus, r5 scaling
-    forensics in BENCH.md §3). This path moves the hot loop into numpy
-    inside per-core Python workers: no shared-heap GC coupling, and a
+    2^63; NULL token arrays propagate NULL exactly like the expression
+    fold — the [P]*k sentinel is only for EMPTY docs). Exists because
+    the expression path's higher-order-function fold is interpreted JVM
+    code whose per-token array allocation makes signature compute
+    GC-bound — measured NOT scaling with cores (2->8 cores gave only
+    1.2x on the 250k-doc corpus, r5 scaling forensics in BENCH.md §3).
+    This path moves the hot loop into numpy inside per-core Python
+    workers: no shared-heap GC coupling, and (for unit tokens) a
     per-worker token-hash cache exploits the Zipfian token law."""
     import hashlib
 
     import numpy as np
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     coeffs = minhash_coeffs(k)
@@ -144,30 +147,45 @@ def _make_sig_udf(k: int):
     B = np.array([b for _, b in coeffs], dtype=np.int64)
     empty_sig = [P] * k
 
-    @pandas_udf("array<long>")
-    def sig_udf(tok_series: pd.Series) -> pd.Series:  # noqa: F821
-        cache = _TOKEN_HASH_CACHE
+    # annotations attached as OBJECTS (not strings) below: pandas is
+    # imported lazily here, so the usual `pd.Series` string annotations
+    # from `from __future__ import annotations` would not resolve
+    # against module globals during pandas_udf type inference
+    def sig_udf(tok_series):
+        cache = _TOKEN_HASH_CACHE if use_cache else None
         md5 = hashlib.md5
         out = []
         for toks in tok_series:
-            if toks is None or len(toks) == 0:
+            if toks is None:
+                # expression fold: aggregate(NULL, ...) -> NULL; the
+                # DuckDB oracles propagate NULL the same way
+                out.append(None)
+                continue
+            if len(toks) == 0:
                 out.append(empty_sig)
                 continue
             hs = np.empty(len(toks), dtype=np.int64)
             i = 0
-            for t in toks:
-                v = cache.get(t)
-                if v is None:
-                    v = int(md5(t.encode("utf-8", "surrogatepass"))
-                            .hexdigest()[:8], 16)
-                    if len(cache) < _TOKEN_HASH_CACHE_CAP:
-                        cache[t] = v
-                hs[i] = v
-                i += 1
+            if cache is None:
+                for t in toks:
+                    hs[i] = int(md5(t.encode("utf-8", "surrogatepass"))
+                                .hexdigest()[:8], 16)
+                    i += 1
+            else:
+                for t in toks:
+                    v = cache.get(t)
+                    if v is None:
+                        v = int(md5(t.encode("utf-8", "surrogatepass"))
+                                .hexdigest()[:8], 16)
+                        if len(cache) < _TOKEN_HASH_CACHE_CAP:
+                            cache[t] = v
+                    hs[i] = v
+                    i += 1
             out.append(((hs[:, None] * A + B) % P).min(axis=0))
         return pd.Series(out)
 
-    return sig_udf
+    sig_udf.__annotations__ = {"tok_series": pd.Series, "return": pd.Series}
+    return pandas_udf(sig_udf, "array<long>")
 
 
 def minhash_signatures(docs: DataFrame, k: int = 32, shingle_size: int = 1,
@@ -191,7 +209,7 @@ def minhash_signatures(docs: DataFrame, k: int = 32, shingle_size: int = 1,
         )
     docs = ensure_parallelism(docs)
     if impl == "arrow":
-        sig_udf = _make_sig_udf(k)
+        sig_udf = _make_sig_udf(k, use_cache=(shingle_size == 1))
         return docs.select(F.col(id_col).alias("eid"),
                            sig_udf(toks).alias("sig"))
     hashed = T.token_hashes(toks)
@@ -295,9 +313,57 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 32, bands: int = 8,
     )
 
 
+def _make_inter_udf():
+    """Vectorized Arrow kernel for the verify stage: (t1, t2) pair of
+    array<string> columns -> |set(t1) ∩ set(t2)| as a nullable long,
+    NULL when either array is NULL — exactly the value
+    ``size(array_intersect(t1, t2))`` produces (array_intersect dedups
+    its output, so plain set intersection matches even for non-distinct
+    inputs; NULL propagates identically under ANSI size semantics).
+
+    Exists for the same reason as :func:`_make_sig_udf`: the
+    ``array_intersect`` expression allocates a fresh JVM hash set per
+    row on the shared executor heap, which the r5 scaling forensics
+    measured at only 2.2-2.4x throughput on 4x cores (BENCH.md §3 —
+    the named residual engine bottleneck). CPython set intersection in
+    per-core worker processes has no shared-heap GC coupling. A
+    per-BATCH memo keyed by doc id amortizes set construction across
+    the many pairs each doc appears in, with memory bounded by one
+    Arrow batch."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def inter_udf(id1s, t1s, id2s, t2s):
+        sets: dict = {}
+
+        def to_set(key, toks):
+            s = sets.get(key)
+            if s is None:
+                s = set(toks)
+                sets[key] = s
+            return s
+
+        out = []
+        for i1, t1, i2, t2 in zip(id1s, t1s, id2s, t2s):
+            if t1 is None or t2 is None:
+                out.append(None)
+            else:
+                a, b = to_set(i1, t1), to_set(i2, t2)
+                # iterate the smaller side: set.__and__ already does,
+                # but be explicit so the cost is min(|a|,|b|)
+                out.append(len(a & b) if len(a) <= len(b) else len(b & a))
+        return pd.Series(out, dtype="Int64")
+
+    inter_udf.__annotations__ = {"id1s": pd.Series, "t1s": pd.Series,
+                                 "id2s": pd.Series, "t2s": pd.Series,
+                                 "return": pd.Series}
+    return pandas_udf(inter_udf, "long")
+
+
 def jaccard_verify(pairs: DataFrame, docs: DataFrame, threshold: float,
                    shingle_size: int = 1, id_col: str = "doc_id",
-                   text_col: str = "text", round_to: int = 6) -> DataFrame:
+                   text_col: str = "text", round_to: int = 6,
+                   impl: str | None = None) -> DataFrame:
     """Exact token(-shingle) Jaccard on candidate pairs; keep >= threshold.
     (True Jaccard inter/union — the verification step of a MinHash
     pipeline, not the reference's quirky matcher form.)
@@ -307,7 +373,17 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, threshold: float,
     endpoint joins: without that, each join side re-tokenizes the FULL
     corpus (2x the scan + shingle work — the dominant verify cost at
     2M docs), and at crawl scale the materialization is bounded by the
-    candidate set, not the corpus."""
+    candidate set, not the corpus.
+
+    ``impl``: ``"arrow"`` (default) computes the intersection size in a
+    vectorized pandas_udf (see :func:`_make_inter_udf` — the
+    ``array_intersect`` expression allocates per-row on the shared JVM
+    heap and was the last stage not scaling with cores); ``"expr"``
+    keeps the pure-column form. The union/round/threshold arithmetic
+    stays JVM-side in BOTH impls, so results are bit-identical (pinned
+    by tests/test_new_operators.py::test_jaccard_verify_arrow_expr)."""
+    import os as _os
+    impl = impl or _os.environ.get("PYJEDAI_VERIFY_IMPL", "arrow")
     toks = T.tokens(F.col("_txt"))
     if shingle_size > 1:
         toks = F.array_distinct(
@@ -324,7 +400,10 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, threshold: float,
         pairs.join(tdf.select(F.col("_id").alias("id1"), F.col("_t").alias("_t1")), "id1")
         .join(tdf.select(F.col("_id").alias("id2"), F.col("_t").alias("_t2")), "id2")
     )
-    inter = F.size(F.array_intersect("_t1", "_t2")).cast("double")
+    if impl == "arrow":
+        inter = _make_inter_udf()("id1", "_t1", "id2", "_t2").cast("double")
+    else:
+        inter = F.size(F.array_intersect("_t1", "_t2")).cast("double")
     union = (F.size("_t1") + F.size("_t2") - inter)
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (

