@@ -58,7 +58,8 @@ def edge_weights(postings: DataFrame, scheme: str = "CBS",
     """Blocking-graph edges (id1 < id2, weight) for a weighting scheme.
 
     One shuffle for the self-join on key, one for the groupBy(id1,id2);
-    per-entity stats are small dims joined afterwards (broadcastable).
+    per-entity block counts ride the postings into the enumeration
+    (attached pre-expansion), so no edge-stream-sized join follows.
     Mega-blocks (size >= ``salt_threshold``) enumerate through a
     chunk-salted join — the right side hashed into ``salt_chunks``
     buckets, the left side replicated per bucket — so one hot key's
@@ -93,17 +94,23 @@ def edge_weights(postings: DataFrame, scheme: str = "CBS",
         sizes = postings.groupBy("key").agg(F.count("*").alias("bs"))
         p = postings.join(sizes, "key")  # sizes is block-count-sized ->
         # AQE broadcasts the build side; no postings exchange
-    # only CN schemes aggregate per-block card and only SN schemes
-    # per-block bs ACROSS the pair enumeration; for everything else
-    # (CBS/JS/ECBS/X2/EJS) the per-pair stream is just (id1, id2) —
-    # pruning the numeric columns halves the width of the enumeration
-    # shuffle, the single biggest byte-mover in meta-blocking (the edge
-    # stream is |pairs|-sized, everything else entity-sized)
     if need_block_cols:
         p = p.withColumn("card", F.col("bs") * (F.col("bs") - 1) / 2)
         block_cols = ["bs", "card"]
     else:
         block_cols = []
+
+    # Attach the per-entity block count BEFORE the quadratic pair
+    # expansion (one entity-keyed join of the postings-sized stream),
+    # NOT to the |pairs|-sized edge table after it: the post-agg
+    # variant needed two more full exchanges of the edge stream — its
+    # checkpointed inputs carry no size statistics, so the planner
+    # shuffle-joins the tiny per-entity dim instead of broadcasting.
+    # Moving decisions onto the small rows before the expansion is the
+    # same proxy-first shape at any scale; the pair stream widens by
+    # two ints, far less than the two edge-stream exchanges it removes.
+    blocks_per_entity = postings.groupBy("eid").agg(F.count("*").alias("nb"))
+    p = p.join(blocks_per_entity, "eid")
 
     # AQE usually turns these joins into broadcast-hash joins (the
     # build side is postings-sized), which makes the join OUTPUT
@@ -116,18 +123,21 @@ def edge_weights(postings: DataFrame, scheme: str = "CBS",
     n_out = int(postings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
     def enumerate_pairs(src):
-        a = src.select("key", F.col("eid").alias("id1"), *block_cols) \
+        a = src.select("key", F.col("eid").alias("id1"),
+                       F.col("nb").alias("nb1"), *block_cols) \
             .repartition(n_out, "key", "id1")
-        b = src.select("key", F.col("eid").alias("id2"))
+        b = src.select("key", F.col("eid").alias("id2"),
+                       F.col("nb").alias("nb2"))
         return a.join(b, "key").where(F.col("id1") < F.col("id2"))
 
     def enumerate_pairs_salted(src):
         a = src.select(
-            "key", F.col("eid").alias("id1"), *block_cols
+            "key", F.col("eid").alias("id1"), F.col("nb").alias("nb1"),
+            *block_cols
         ).repartition(n_out).withColumn("_cb", F.explode(F.sequence(
             F.lit(0), F.lit(salt_chunks - 1))))
         b = src.select(
-            "key", F.col("eid").alias("id2"),
+            "key", F.col("eid").alias("id2"), F.col("nb").alias("nb2"),
             F.pmod(F.xxhash64("eid"), F.lit(salt_chunks)).alias("_cb"))
         return (a.join(b, ["key", "_cb"])
                 .where(F.col("id1") < F.col("id2"))
@@ -141,8 +151,10 @@ def edge_weights(postings: DataFrame, scheme: str = "CBS",
                 p.where(F.col("bs") >= salt_threshold)))
 
     # counter accumulation, incl. the CN/SN dangling-else quirk
-    # (comparison_cleaning.py:376-385)
-    aggs = [F.count("*").alias("cbs")]
+    # (comparison_cleaning.py:376-385); nb1/nb2 are constant per pair,
+    # so max() just carries them through the same aggregate
+    aggs = [F.count("*").alias("cbs"),
+            F.max("nb1").alias("nb1"), F.max("nb2").alias("nb2")]
     if scheme in CN_SCHEMES:
         aggs.append(F.sum(F.lit(1.0) / F.col("card")).alias("cn_extra"))
     if scheme in SN_SCHEMES:
@@ -163,14 +175,6 @@ def edge_weights(postings: DataFrame, scheme: str = "CBS",
         e = e.withColumn("counter", F.col("sn_counter"))
     else:
         e = e.withColumn("counter", F.col("cbs").cast("double"))
-
-    blocks_per_entity = postings.groupBy("eid").agg(F.count("*").alias("nb"))
-    e = (
-        e.join(blocks_per_entity.withColumnRenamed("eid", "id1")
-               .withColumnRenamed("nb", "nb1"), "id1")
-        .join(blocks_per_entity.withColumnRenamed("eid", "id2")
-              .withColumnRenamed("nb", "nb2"), "id2")
-    )
 
     num_blocks = None
     if scheme in {"ECBS", "X2"}:

@@ -384,6 +384,13 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, threshold: float,
     by tests/test_new_operators.py::test_jaccard_verify_arrow_expr)."""
     import os as _os
     impl = impl or _os.environ.get("PYJEDAI_VERIFY_IMPL", "arrow")
+    # Materialize the pair set ONCE: it feeds two plan branches (the
+    # cand_ids semi-join driving tdf below, and the final endpoint
+    # joins), and when the caller hands a lazy candidate plan (the
+    # bench's LSH band self-join) each branch would re-run the whole
+    # candidate enumeration. The pair table is (id1, id2) only — the
+    # lightweight proxy a 100TB run materializes anyway between stages.
+    pairs = pairs.localCheckpoint()
     toks = T.tokens(F.col("_txt"))
     if shingle_size > 1:
         toks = F.array_distinct(
@@ -461,7 +468,12 @@ def simhash_candidate_pairs(docs: DataFrame, max_hamming: int = 3,
     signature into ``chunks`` 8-bit chunks; any pair within Hamming
     distance <= chunks-1 shares at least one exact chunk. Verified with
     bit_count(xor) <= max_hamming. Returns (id1, id2, hamming)."""
-    sigs = simhash_signatures(docs, id_col, text_col)
+    # Materialize signatures ONCE: sigs feeds both sides of the
+    # within-chunk self-join below, and without a barrier each side
+    # re-runs the whole explode + 32-sum signature aggregation (the
+    # dominant cost — the plan showed two identical scan->explode->
+    # agg subtrees). Same reasoning as the minhash sigs checkpoint.
+    sigs = simhash_signatures(docs, id_col, text_col).localCheckpoint()
     width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
     b = sigs.select(
@@ -507,7 +519,10 @@ def substring_fingerprint_pairs(docs: DataFrame, w: int = 20,
                 T.word_shingles(T.tokens(F.col(text_col), distinct=False), w)
             )
         ).alias("win"),
-    ).select(F.md5("win").alias("key"), "eid").distinct()
+    ).select(F.md5("win").alias("key"), "eid").distinct() \
+        .localCheckpoint()  # feeds both self-join sides (and the bucket
+    # cap's count branch): un-materialized, each reference re-runs the
+    # tokenize + w-shingle + md5 + distinct pass over the full corpus
     if max_bucket is not None:
         sh = keep_multi_entity_blocks(sh, 2, max_bucket)
     a1 = sh.select("key", F.col("eid").alias("id1"))
@@ -544,7 +559,9 @@ def duplicate_spans(docs: DataFrame, w: int = 10,
     pw = ensure_parallelism(docs).select(
         F.col(id_col).alias("eid"),
         F.posexplode(T.word_shingles(toks, w)).alias("pos", "win"),
-    ).select("eid", "pos", F.md5("win").alias("key"))
+    ).select("eid", "pos", F.md5("win").alias("key")) \
+        .localCheckpoint()  # feeds both fingerprint-join sides — see
+    # substring_fingerprint_pairs
     a1 = pw.select("key", F.col("eid").alias("id1"), F.col("pos").alias("pos1"))
     a2 = pw.select("key", F.col("eid").alias("id2"), F.col("pos").alias("pos2"))
     m = (
@@ -582,7 +599,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         F.array_distinct(
             T.word_shingles(T.tokens(F.col(text_col), distinct=False), n)
         ).alias("sh"),
-    )
+    ).localCheckpoint()  # feeds sizes + both exploded self-join sides:
+    # four re-tokenize passes without a barrier
     sizes = sh.select("eid", F.size("sh").alias("n_sh"))
     ex = sh.select("eid", F.explode("sh").alias("g"))
     a1 = ex.select(F.col("eid").alias("id1"), "g")

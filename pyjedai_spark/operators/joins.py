@@ -167,19 +167,32 @@ def ejoin(docs: DataFrame, similarity_threshold: float = 0.82,
         .where(F.col("_rn") <= _prefix_len(metric, similarity_threshold,
                                            F.col("f")))
         .select("eid", "tok")
+        # materialized ONCE: the prefix table feeds both sides of the
+        # candidate self-join, and each un-materialized reference
+        # re-runs the tokenize + df-count join + per-entity rank chain
+        # (two identical Window subtrees in the plan otherwise)
+        .localCheckpoint()
     )
     cand = (
         prefix.alias("a").join(prefix.alias("b"), "tok")
         .where(F.col("a.eid") < F.col("b.eid"))
         .select(F.col("a.eid").alias("id1"), F.col("b.eid").alias("id2"))
         .distinct()
+        # feeds the candidate-id semi-join AND the verify joins below
+        .localCheckpoint()
     )
-    # exact verification on the full token sets
+    # exact verification on the full token sets, re-tokenized only for
+    # docs that appear in a candidate pair (semi-join bound — the
+    # jaccard_verify pattern) and materialized once for both endpoints
+    cand_ids = (cand.select(F.col("id1").alias("eid"))
+                .union(cand.select(F.col("id2").alias("eid")))
+                .distinct())
+    tv = toks.join(cand_ids, "eid", "left_semi").localCheckpoint()
     j = (
-        cand.join(toks.select(F.col("eid").alias("id1"),
-                              F.col("toks").alias("_t1")), "id1")
-        .join(toks.select(F.col("eid").alias("id2"),
-                          F.col("toks").alias("_t2")), "id2")
+        cand.join(tv.select(F.col("eid").alias("id1"),
+                            F.col("toks").alias("_t1")), "id1")
+        .join(tv.select(F.col("eid").alias("id2"),
+                        F.col("toks").alias("_t2")), "id2")
         .withColumn("c", F.size(F.array_intersect("_t1", "_t2")))
         .withColumn("f1", F.size("_t1")).withColumn("f2", F.size("_t2"))
     )
@@ -253,7 +266,11 @@ def pe_topk_join(docs: DataFrame, k: int, metric: str = "cosine",
     exr = ex.join(dfreq, "tok")
     w_pref = Window.partitionBy("eid").orderBy(F.col("df").asc(),
                                                F.col("tok").asc())
-    ranked = exr.withColumn("_rn", F.row_number().over(w_pref))
+    # materialized once: every descent rung derives its prefix from
+    # `ranked`, and each un-materialized reference re-runs the
+    # tokenize + df-count join + per-entity rank chain
+    ranked = exr.withColumn("_rn", F.row_number().over(w_pref)) \
+        .localCheckpoint()
 
     w_rank = Window.partitionBy("eid").orderBy(F.col("sim").desc(),
                                                F.col("neighbor").asc())
