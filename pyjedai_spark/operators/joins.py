@@ -82,7 +82,7 @@ def _pair_sims(docs: DataFrame, metric: str, tokenization: str, qgrams: int,
     toks = docs.select(
         F.col(id_col).alias("eid"),
         _join_tokens(F.col(text_col), tokenization, qgrams).alias("toks"),
-    )
+    ).localCheckpoint()  # feeds sizes + both exploded self-join sides
     sizes = toks.select("eid", F.size("toks").alias("f"))
     ex = toks.select("eid", F.explode("toks").alias("tok"))
     a1 = ex.select(F.col("eid").alias("id1"), "tok")

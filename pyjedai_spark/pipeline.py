@@ -133,13 +133,23 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
 
     d = docs.select(F.col(id_col).alias("eid"), F.col(text_col).alias("text"),
                     *([F.col(url_col).alias("url")] if url_col else []))
+    # Each per-doc label table below (ranks, url/exact-dup labels, the
+    # quality gate, cluster labels) fans out into 2-3 consumers (the
+    # drop records + the survivor filter feeding the next stage, and
+    # ranks into every dedup stage): materialize each ONCE or every
+    # consumer re-runs the full text-analysis / aggregation pass over
+    # the corpus. All of them are eid-sized — the cheap side of the
+    # pipeline — and at scale they are exactly the per-stage label
+    # checkpoints a resumable run writes anyway.
     rk = (ranks.select(F.col(id_col).alias("eid"),
                        F.col(rank_col).cast("double").alias("rank"))
+          .localCheckpoint()
           if ranks is not None else None)
     drops = []
 
     if url_col:
-        ud = U.url_dedup(d, id_col="eid", url_col="url", ranks=rk)
+        ud = U.url_dedup(d, id_col="eid", url_col="url", ranks=rk) \
+            .localCheckpoint()
         drops.append(ud.where(F.col("is_dup") == 1).select(
             "eid", F.lit("url_dup").alias("status"),
             F.col("survivor").cast("long").alias("survivor")))
@@ -149,7 +159,8 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
                          ud.where(F.col("is_dup") == 0).select("eid"), "eid"),
                      fingerprint)
 
-    ed = DD.exact_dedup(d, id_col="eid", text_col="text", ranks=rk)
+    ed = DD.exact_dedup(d, id_col="eid", text_col="text", ranks=rk) \
+        .localCheckpoint()
     drops.append(ed.where(F.col("keep") == 0).join(
         ed.where(F.col("keep") == 1).select(
             "fingerprint", F.col("eid").alias("survivor")), "fingerprint")
@@ -161,7 +172,7 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
                      ed.where(F.col("keep") == 1).select("eid"), "eid"),
                  fingerprint)
 
-    gq = A.gopher_quality(d, id_col="eid", text_col="text")
+    gq = A.gopher_quality(d, id_col="eid", text_col="text").localCheckpoint()
     drops.append(gq.where(F.col("passes") == 0).select(
         "eid", F.lit("low_quality").alias("status"),
         F.lit(None).cast("long").alias("survivor")))
@@ -178,11 +189,12 @@ def corpus_clean_pipeline(docs: DataFrame, id_col: str = "doc_id",
     verified = DD.jaccard_verify(cands, d, jaccard_threshold, shingle_size,
                                  id_col="eid", text_col="text")
     clusters = CL.connected_components(
-        verified.select("id1", "id2"), nodes=d.select("eid"))
+        verified.select("id1", "id2"), nodes=d.select("eid")) \
+        .localCheckpoint()
     if rk is not None:
         # tiered representative: best-ranked cluster member, not the
         # CC label (which is the cluster-min id by construction)
-        reps = DD.cluster_survivors(clusters, rk)
+        reps = DD.cluster_survivors(clusters, rk).localCheckpoint()
         drops.append(reps.where(F.col("is_survivor") == 0).select(
             "eid", F.lit("near_dup").alias("status"),
             F.col("survivor").cast("long").alias("survivor")))
