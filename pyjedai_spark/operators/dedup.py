@@ -381,7 +381,8 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, threshold: float,
     heap and was the last stage not scaling with cores); ``"expr"``
     keeps the pure-column form. The union/round/threshold arithmetic
     stays JVM-side in BOTH impls, so results are bit-identical (pinned
-    by tests/test_new_operators.py::test_jaccard_verify_arrow_expr)."""
+    by tests/test_new_operators.py::
+    test_jaccard_verify_arrow_expr_identical)."""
     import os as _os
     impl = impl or _os.environ.get("PYJEDAI_VERIFY_IMPL", "arrow")
     # Materialize the pair set ONCE: it feeds two plan branches (the

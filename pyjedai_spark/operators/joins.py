@@ -151,7 +151,6 @@ def ejoin(docs: DataFrame, similarity_threshold: float = 0.82,
         F.col(id_col).alias("eid"),
         _join_tokens(F.col(text_col), tokenization, qgrams).alias("toks"),
     )
-    sizes = toks.select("eid", F.size("toks").alias("f"))
     ex = toks.select("eid", F.size("toks").alias("f"),
                      F.explode("toks").alias("tok"))
     # global document-frequency order. NOT broadcast: real webtext

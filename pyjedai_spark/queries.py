@@ -4630,28 +4630,36 @@ ORACLES = _build_oracles()
 # driver never saw, so every query accumulates a driver CORRECTNESS row
 # across rounds; long-green unchanged queries move to the tail.
 _DRIVER_PRIORITY = [
-    # rotation round 3 of 3 (r5 verdict item 3): the 43 queries whose
-    # freshest driver row is r03 (computed from CORRECTNESS_r01-r05.json
-    # — every other registry query has an r04/r05 row), front-loaded so
-    # the r04-r06 union covers the whole registry. minhash_near_dup and
-    # the lsh-pair queries also sit on the r6 verify-kernel diff.
+    # behavior-touched in round 6 — every end-to-end consumer of the
+    # new Arrow verify kernel (jaccard_verify impl swap) plus the
+    # rdf_subject_er two-pass lid rank; streaming_reconciled exercises
+    # the kernel inside foreachBatch, the riskiest execution context
+    "rdf_subject_er", "corpus_clean_tiered", "streaming_reconciled",
+    "webtext_minhash_clusters", "tiered_near_dup", "corpus_clean",
+    # rotation round 3 of 3 (r5 verdict item 3): of the 43 queries
+    # whose freshest driver row is r03 (computed from
+    # CORRECTNESS_r01-r05.json — every other registry query has an
+    # r04/r05 row), the 38 that fit after the kernel consumers above;
+    # the 5 left at r3 (clean_text, events_windowed, pii_counts,
+    # tf_cosine, boolean_cosine) are pure column-expression queries no
+    # r4-r6 change touches, and the full local oracle gate re-greens
+    # them each round. minhash_near_dup and the lsh-pair queries also
+    # sit on the r6 verify-kernel diff.
     "ann_lsh_topk", "ann_topk", "ann_topk_from_text",
-    "best_match_clustering", "boolean_cosine", "ccer_ccc",
+    "best_match_clustering", "ccer_ccc",
     "ccer_em_cosine", "ccer_pairs_cp", "ccer_wep_js",
-    "center_clustering", "clean_text", "correlation_clustering",
+    "center_clustering", "correlation_clustering",
     "cut_clustering", "duplicate_spans", "ejoin_dice_multiset",
     "ejoin_jaccard_qgrams", "em_jaro", "em_levenshtein",
-    "embedding_dedup", "embeddings_nn_bpm", "events_windowed",
+    "embedding_dedup", "embeddings_nn_bpm",
     "kiraly_clustering", "line_dedup", "lsh_recall_eval",
     "merge_center_clustering", "minhash_lsh_pairs",
-    "minhash_lsh_pairs_salted", "minhash_near_dup", "pii_counts",
+    "minhash_lsh_pairs_salted", "minhash_near_dup",
     "ricochet_clustering", "schema_jaccard_leven",
     "schema_name_matches", "simhash_pairs", "source_quota",
     "spatial_equigrid_cf", "spatial_equigrid_js", "spatial_topk_mbr",
-    "substring_dedup", "tf_cosine", "tfidf_cosine", "topk_join_pm",
+    "substring_dedup", "tfidf_cosine", "topk_join_pm",
     "url_dedup", "video_frame_sample",
-    # behavior-touched in round 6: the rdf_subject_er two-pass lid rank
-    "rdf_subject_er",
     # flagship + headline guards (keep a fresh row every round)
     "der_dedup_clusters", "meta_cnp_cleaned", "minhash_bands",
     "ejoin_cosine", "ann_ivf_topk", "ccer_best_chain",
