@@ -687,3 +687,27 @@ def test_minhash_arrow_empty_doc_sentinel(spark):
             for r in DD.minhash_signatures(df, impl="arrow").collect()}
     assert rows[1] == [DD.P] * 32 and rows[2] == [DD.P] * 32
     assert rows[3] != [DD.P] * 32
+
+
+def test_ejoin_arrow_expr_identical(spark, docs, monkeypatch):
+    """The join verify stages share the dedup Arrow intersect kernel
+    (r6): ejoin's prefix-path verify and pe_topk_join's per-rung verify
+    must be bit-identical to the array_intersect expression form the
+    DuckDB join oracles reproduce — across metrics and tokenizations
+    (set and occurrence-suffixed multiset)."""
+    from pyjedai_spark.operators import joins as J
+
+    sample = docs.limit(150)
+    for impl_env, bag in (("expr", {}), ("arrow", {})):
+        monkeypatch.setenv("PYJEDAI_VERIFY_IMPL", impl_env)
+        bag["ej"] = sorted(map(tuple, J.ejoin(
+            sample, 0.6, "cosine", "qgrams").collect()))
+        bag["ejm"] = sorted(map(tuple, J.ejoin(
+            sample, 0.5, "dice", "standard_multiset").collect()))
+        bag["pk"] = sorted(map(tuple, J.pe_topk_join(
+            sample.limit(60), 3, "jaccard", "standard").collect()))
+        if impl_env == "expr":
+            expr_bag = dict(bag)
+    assert expr_bag["ej"] == bag["ej"] and len(bag["ej"]) > 0
+    assert expr_bag["ejm"] == bag["ejm"] and len(bag["ejm"]) > 0
+    assert expr_bag["pk"] == bag["pk"] and len(bag["pk"]) > 0
