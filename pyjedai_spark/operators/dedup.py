@@ -435,14 +435,88 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 32,
 SIMHASH_BITS = 32
 
 
+def _make_simhash_udf():
+    """Vectorized Arrow kernel: array<string> tokens -> 32-bit SimHash
+    as a nullable long; NULL for NULL or EMPTY token arrays, which the
+    caller filters out — exactly the rows the aggregate path never
+    emits (explode drops null/empty arrays, so those eids are absent
+    from the groupBy output, as is the oracle's unnest).
+
+    Same u32 token hash as :func:`..functions.text.token_hash_u32`
+    (md5 hex prefix) via the shared per-worker unit-token cache, and
+    the same integer arithmetic as the 32-conditional-sum aggregate
+    (bit_j set iff 2*ones_j - n > 0) — order-independent sums, so the
+    signature is bit-identical (pinned by
+    test_simhash_arrow_expr_identical). Exists for the same reason as
+    :func:`_make_sig_udf`: it computes the signature in one scan with
+    ZERO shuffle (the aggregate path explodes every token hash and
+    exchanges per-eid partials), and moves the hot loop off the shared
+    executor heap into per-core Python workers."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+    weights = np.int64(1) << bit_idx
+
+    def simhash_udf(tok_series):
+        cache = _TOKEN_HASH_CACHE  # unit tokens: same namespace/value
+        # as the MinHash kernel's md5-u32, so the cache is shared
+        md5 = hashlib.md5
+        out = []
+        for toks in tok_series:
+            if toks is None or len(toks) == 0:
+                out.append(None)
+                continue
+            hs = np.empty(len(toks), dtype=np.int64)
+            i = 0
+            for t in toks:
+                v = cache.get(t)
+                if v is None:
+                    v = int(md5(t.encode("utf-8", "surrogatepass"))
+                            .hexdigest()[:8], 16)
+                    if len(cache) < _TOKEN_HASH_CACHE_CAP:
+                        cache[t] = v
+                hs[i] = v
+                i += 1
+            ones = ((hs[:, None] >> bit_idx) & 1).sum(axis=0)
+            out.append(int(weights[2 * ones - len(toks) > 0].sum()))
+        return pd.Series(out, dtype="Int64")
+
+    simhash_udf.__annotations__ = {"tok_series": pd.Series, "return": pd.Series}
+    return pandas_udf(simhash_udf, "long")
+
+
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       impl: str | None = None) -> DataFrame:
     """(eid, simhash long): 32-bit SimHash over distinct tokens.
 
     bit_j(sig) = 1  iff  sum_tokens(2*bit_j(h(token)) - 1) > 0.
-    Expressed as 32 conditional sums over the exploded token-hash list —
-    a single hash aggregate, fully JVM-side.
-    """
+
+    ``impl``: ``"arrow"`` (default) computes the whole signature in a
+    vectorized pandas_udf — one scan, no shuffle (see
+    :func:`_make_simhash_udf`); ``"expr"`` keeps the pure-JVM form: 32
+    conditional sums over the exploded token-hash list — a single hash
+    aggregate, but one full exchange of per-eid partials and an
+    interpreted shared-heap hot loop. Both emit bit-identical rows
+    (docs with NULL/empty token arrays appear in neither)."""
+    import os as _os
+    impl = impl or _os.environ.get("PYJEDAI_SIMHASH_IMPL", "arrow")
+    if impl == "arrow":
+        sig_udf = _make_simhash_udf()
+        # drop NULL/empty-token docs BEFORE the kernel with a plain
+        # column predicate (size(tokens) > 0 — NULL text gives a NULL
+        # predicate, dropped): filtering on the kernel OUTPUT instead
+        # lets Catalyst push that filter below ensure_parallelism's
+        # exchange and evaluate the UDF twice (observed in the plan)
+        toks = T.tokens(F.col(text_col))
+        return (ensure_parallelism(docs)
+                .where(F.size(toks) > 0)
+                .select(F.col(id_col).alias("eid"),
+                        sig_udf(toks).alias("simhash")))
     toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("eid"),
         F.explode(T.token_hashes(T.tokens(F.col(text_col)))).alias("h"))

@@ -174,7 +174,9 @@ def ejoin(docs: DataFrame, similarity_threshold: float = 0.82,
     toks = docs.select(
         F.col(id_col).alias("eid"),
         _join_tokens(F.col(text_col), tokenization, qgrams).alias("toks"),
-    )
+    ).localCheckpoint()  # tokenize ONCE: un-materialized, the scan +
+    # tokenize re-runs on the df-count branch, the probe side of the
+    # df join, and the verify token table below (3 corpus passes)
     ex = toks.select("eid", F.size("toks").alias("f"),
                      F.explode("toks").alias("tok"))
     # global document-frequency order. NOT broadcast: real webtext
@@ -282,7 +284,9 @@ def pe_topk_join(docs: DataFrame, k: int, metric: str = "cosine",
     toks = docs.select(
         F.col(id_col).alias("eid"),
         _join_tokens(F.col(text_col), tokenization, qgrams).alias("toks"),
-    )
+    ).localCheckpoint()  # tokenize ONCE: toks feeds the df-count
+    # branch, the probe side of the df join, the residual probe set,
+    # and BOTH endpoint joins of every descent rung's verify
     ex = toks.select("eid", F.size("toks").alias("f"),
                      F.explode("toks").alias("tok"))
     dfreq = ex.groupBy("tok").agg(F.count("*").alias("df"))

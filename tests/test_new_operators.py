@@ -689,6 +689,36 @@ def test_minhash_arrow_empty_doc_sentinel(spark):
     assert rows[3] != [DD.P] * 32
 
 
+def test_simhash_arrow_expr_identical(spark, docs):
+    """The vectorized SimHash kernel (r6: one scan, zero shuffle) must
+    be bit-identical to the 32-conditional-sum aggregate path — the
+    DuckDB simhash oracles reproduce the aggregate arithmetic. NULL and
+    empty-token docs must be ABSENT from both (explode/unnest drops
+    them; the kernel path filters its NULL signatures)."""
+    from pyjedai_spark.operators import dedup as DD
+
+    extra = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "   _ "), (9004, "naïve café naïve")],
+        "doc_id long, text string")
+    df = docs.select("doc_id", "text").unionByName(extra)
+    e = {r["eid"]: r["simhash"]
+         for r in DD.simhash_signatures(df, impl="expr").collect()}
+    a = {r["eid"]: r["simhash"]
+         for r in DD.simhash_signatures(df, impl="arrow").collect()}
+    assert e == a and len(e) > 0
+    assert 9001 not in a and 9002 not in a and 9003 not in a
+    assert 9004 in a
+
+    pe = sorted(map(tuple, DD.simhash_candidate_pairs(df).collect()))
+    import os
+    os.environ["PYJEDAI_SIMHASH_IMPL"] = "expr"
+    try:
+        pa = sorted(map(tuple, DD.simhash_candidate_pairs(df).collect()))
+    finally:
+        del os.environ["PYJEDAI_SIMHASH_IMPL"]
+    assert pe == pa
+
+
 def test_ejoin_arrow_expr_identical(spark, docs, monkeypatch):
     """The join verify stages share the dedup Arrow intersect kernel
     (r6): ejoin's prefix-path verify and pe_topk_join's per-rung verify
