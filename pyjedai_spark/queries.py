@@ -4633,9 +4633,14 @@ _DRIVER_PRIORITY = [
     # behavior-touched in round 6 — every end-to-end consumer of the
     # new Arrow verify kernel (jaccard_verify impl swap) plus the
     # rdf_subject_er two-pass lid rank; streaming_reconciled exercises
-    # the kernel inside foreachBatch, the riskiest execution context
+    # the kernel inside foreachBatch, the riskiest execution context.
+    # simhash_signatures joined late-round when its impl swapped to
+    # the Arrow SimHash kernel (simhash_pairs, its end-to-end
+    # consumer, is already below); video_frame_sample (rows-only, no
+    # oracle to compare) ceded the slot to keep the list at 50.
     "rdf_subject_er", "corpus_clean_tiered", "streaming_reconciled",
     "webtext_minhash_clusters", "tiered_near_dup", "corpus_clean",
+    "simhash_signatures",
     # rotation round 3 of 3 (r5 verdict item 3): of the 43 queries
     # whose freshest driver row is r03 (computed from
     # CORRECTNESS_r01-r05.json — every other registry query has an
@@ -4659,7 +4664,7 @@ _DRIVER_PRIORITY = [
     "schema_name_matches", "simhash_pairs", "source_quota",
     "spatial_equigrid_cf", "spatial_equigrid_js", "spatial_topk_mbr",
     "substring_dedup", "tfidf_cosine", "topk_join_pm",
-    "url_dedup", "video_frame_sample",
+    "url_dedup",
     # flagship + headline guards (keep a fresh row every round)
     "der_dedup_clusters", "meta_cnp_cleaned", "minhash_bands",
     "ejoin_cosine", "ann_ivf_topk", "ccer_best_chain",
