@@ -191,18 +191,46 @@ def ejoin(docs: DataFrame, similarity_threshold: float = 0.82,
         exr.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= _prefix_len(metric, similarity_threshold,
                                            F.col("f")))
-        .select("eid", "tok")
+        .select("eid", "tok", F.col("_rn").alias("p"), "f")
         # materialized ONCE: the prefix table feeds both sides of the
         # candidate self-join, and each un-materialized reference
         # re-runs the tokenize + df-count join + per-entity rank chain
         # (two identical Window subtrees in the plan otherwise)
         .localCheckpoint()
     )
+    # positional overlap upper bound (PPJoin family, Xiao et al.
+    # WWW'08 — public), exact: let t* be a pair's LAST matched prefix
+    # token in the global (df, tok) order. Every shared token ordered
+    # before t* sits at positions < p(t*) <= prefix_len on BOTH sides,
+    # so it is itself a matched prefix token — the m matches count ALL
+    # shared tokens up to t*; shared tokens after t* number at most
+    # min(f1 - p1(t*), f2 - p2(t*)). Hence overlap c <= ub below, and
+    # since every metric here is monotone increasing in c, a pair
+    # whose ub-similarity fails the (rounded) threshold provably fails
+    # the final filter — pruned BEFORE the token-array verify joins.
+    # p1/p2 both increase with global token order, so max(struct(p1,
+    # p2)) picks t*'s positions. The groupBy replaces the former
+    # .distinct() — same exchange key, no extra shuffle.
+    pa = prefix.select(F.col("eid").alias("id1"), "tok",
+                       F.col("p").alias("p1"), F.col("f").alias("f1"))
+    pb = prefix.select(F.col("eid").alias("id2"), "tok",
+                       F.col("p").alias("p2"), F.col("f").alias("f2"))
+    ub_agg = (
+        pa.join(pb, "tok")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("m"),
+             F.max(F.struct("p1", "p2")).alias("_mp"),
+             F.max("f1").alias("f1"), F.max("f2").alias("f2"))
+    )
+    ub = (F.col("m") + F.least(F.col("f1") - F.col("_mp.p1"),
+                               F.col("f2") - F.col("_mp.p2"))).cast("double")
+    ub_sim = _sim_expr(metric, ub, F.col("f1"), F.col("f2"))
+    if round_to is not None:
+        ub_sim = F.round(ub_sim, round_to)
     cand = (
-        prefix.alias("a").join(prefix.alias("b"), "tok")
-        .where(F.col("a.eid") < F.col("b.eid"))
-        .select(F.col("a.eid").alias("id1"), F.col("b.eid").alias("id2"))
-        .distinct()
+        ub_agg.where(ub_sim >= similarity_threshold)
+        .select("id1", "id2")
         # feeds the candidate-id semi-join AND the verify joins below
         .localCheckpoint()
     )

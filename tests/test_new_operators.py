@@ -689,6 +689,28 @@ def test_minhash_arrow_empty_doc_sentinel(spark):
     assert rows[3] != [DD.P] * 32
 
 
+def test_ejoin_prefix_positional_parity(spark, docs):
+    """The prefix-filtered ejoin (AllPairs + the r6 PPJoin positional
+    upper bound) must return EXACTLY the exhaustive join's pairs: the
+    bound may only prune candidates that provably fail the rounded
+    threshold. Covers all three metrics, set + multiset tokenizations,
+    and thresholds either side of the corpus's similarity mass."""
+    from pyjedai_spark.operators import joins as J
+
+    sample = docs.limit(120)
+    for metric, tokenization, thr in [
+        ("cosine", "standard", 0.82), ("cosine", "qgrams", 0.6),
+        ("jaccard", "standard", 0.5), ("jaccard", "qgrams_multiset", 0.7),
+        ("dice", "standard_multiset", 0.6), ("dice", "qgrams", 0.35),
+    ]:
+        fast = sorted(map(tuple, J.ejoin(
+            sample, thr, metric, tokenization, prefix_filter=True).collect()))
+        slow = sorted(map(tuple, J.ejoin(
+            sample, thr, metric, tokenization, prefix_filter=False).collect()))
+        assert fast == slow, (metric, tokenization, thr,
+                              len(fast), len(slow))
+
+
 def test_simhash_arrow_expr_identical(spark, docs):
     """The vectorized SimHash kernel (r6: one scan, zero shuffle) must
     be bit-identical to the 32-conditional-sum aggregate path — the
