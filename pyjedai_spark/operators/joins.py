@@ -337,6 +337,12 @@ def pe_topk_join(docs: DataFrame, k: int, metric: str = "cosine",
                 F.col("_rn") <= _prefix_len(metric, t, F.col("f"))
             ).select("eid", "tok")
             probe = pref.join(remaining, "eid")
+            # NOTE: ejoin's r6 positional upper bound was tried on
+            # these rungs too and measured a 117.6 -> 152.7s sf0.1
+            # REGRESSION (identical output): on a dense-similarity
+            # corpus nothing prunes, and the positions widening the
+            # token-join payload plus the richer aggregate are pure
+            # overhead. Reverted; the plain distinct stays.
             cand = (
                 probe.select(F.col("eid"), "tok")
                 .join(pref.select(F.col("eid").alias("neighbor"), "tok"), "tok")

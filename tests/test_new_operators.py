@@ -711,6 +711,28 @@ def test_ejoin_prefix_positional_parity(spark, docs):
                               len(fast), len(slow))
 
 
+def test_pe_topk_brute_force_parity(spark, docs):
+    """pe_topk_join's residual threshold descent (now with the r6
+    per-rung positional bound) must return exactly the brute-force
+    per-entity top-k — every rung prune has to be lossless."""
+    from pyspark.sql import Window
+
+    from pyjedai_spark.operators import joins as J
+
+    sample = docs.limit(100)
+    out = sorted(map(tuple, J.pe_topk_join(
+        sample, k=3, metric="cosine", tokenization="standard").collect()))
+    sims = J._pair_sims(sample, "cosine", "standard", 2, "doc_id", "text", 6)
+    w = Window.partitionBy("id1").orderBy(F.col("sim").desc(),
+                                          F.col("id2").asc())
+    brute = sorted(map(tuple, (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(F.col("id1").alias("eid"), F.col("id2").alias("neighbor"),
+                "sim", "rank")).collect()))
+    assert out == brute and len(out) > 0
+
+
 def test_simhash_arrow_expr_identical(spark, docs):
     """The vectorized SimHash kernel (r6: one scan, zero shuffle) must
     be bit-identical to the 32-conditional-sum aggregate path — the
